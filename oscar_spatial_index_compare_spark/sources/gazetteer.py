@@ -1,0 +1,103 @@
+"""Deterministic gazetteer: geo-entity dictionary for extraction (SURVEY X4).
+
+The reference gets item geometry from the OSM store
+(``src/OscarSgIndex.cpp:104-122`` — ``geoShape().visitPoints``).  Our corpus is
+Common-Crawl-style web text, so geometry comes from *geo-entity extraction*:
+a fixed dictionary of place names with fixed coordinates.  Names are drawn
+from the corpus vocabulary (unigrams + bigrams) so every table in
+/root/testdata exercises the pipeline; coordinates are seed-free pure
+functions of the entry index (golden-angle spiral) so extraction is
+byte-identical across runs and parallelism levels (north_rule per-row
+invariant).
+
+Skew design (FIXTURES.md §2): the 5 hottest vocabulary words share one metro
+area (one coarse cell) — at coarse resolutions that cell carries ~5x the
+postings of any other, forcing the AQE/salting path that the reference's
+atomic work counter handled (``src/OscarSgIndex.cpp:81-95``).
+
+Edge cases: one polar entry (lat 89.5), one near-antimeridian entry
+(lon 179.95), southern-hemisphere + all-S2-face coverage via the spiral.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+# Corpus vocabulary (observed in /root/testdata documents.text; stable).
+VOCAB = [
+    "join", "hash", "row", "batch", "scan", "column", "customer", "filter",
+    "small", "slow", "merge", "order", "vector", "line", "table", "data",
+    "agg", "value", "key", "stream", "window", "a", "spark", "part", "group",
+    "big", "sort", "query", "fast", "the", "dup",
+]
+
+HOT_WORDS = ["join", "hash", "row", "batch", "scan"]  # one metro = hot cell
+_METRO = (48.85, 2.35)
+
+N_ENTRIES = 200
+
+
+def _spiral(k: int, n: int) -> tuple[float, float]:
+    """Golden-angle spiral point k of n on the sphere (deterministic)."""
+    lat = math.degrees(math.asin(max(-1.0, min(1.0, 1.0 - 2.0 * (k + 0.5) / n))))
+    lon = (k * 137.50776405003785) % 360.0 - 180.0
+    # keep a safety margin off the exact antimeridian/poles
+    lon = max(-179.9, min(179.9, lon))
+    lat = max(-89.0, min(89.0, lat))
+    return round(lat, 6), round(lon, 6)
+
+
+@lru_cache(maxsize=1)
+def gazetteer() -> list[tuple[str, float, float, int]]:
+    """(name, lat, lon, popularity) — exactly N_ENTRIES rows, deterministic."""
+    entries: list[tuple[str, float, float, int]] = []
+    # 1) hot words: clustered in one metro area (hot cell at coarse res)
+    for i, w in enumerate(HOT_WORDS):
+        entries.append((w, round(_METRO[0] + 0.03 * i, 6), round(_METRO[1] + 0.04 * i, 6), 100))
+    # 2) special edge-case words
+    specials = {"dup": (89.5, 12.25), "the": (13.37, 179.95), "a": (-87.9, -120.5)}
+    used = set(HOT_WORDS) | set(specials)
+    for w, (la, lo) in sorted(specials.items()):
+        entries.append((w, la, lo, 50))
+    # 3) remaining unigrams on the spiral
+    rest = [w for w in VOCAB if w not in used]
+    for i, w in enumerate(rest):
+        la, lo = _spiral(i, len(rest))
+        entries.append((w, la, lo, 10))
+    # 4) bigrams "w1 w2" until N_ENTRIES, coordinates on a global spiral
+    n_bi = N_ENTRIES - len(entries)
+    v = VOCAB
+    bi = []
+    k = 0
+    i = 0
+    while len(bi) < n_bi:
+        a_, b_ = v[i % len(v)], v[(i * 7 + 3) % len(v)]
+        i += 1
+        if a_ == b_:
+            continue
+        name = f"{a_} {b_}"
+        if any(e[0] == name for e in bi):
+            continue
+        la, lo = _spiral(k, n_bi)
+        k += 1
+        bi.append((name, la, lo, 1))
+    entries.extend(bi)
+    assert len(entries) == N_ENTRIES
+    assert len({e[0] for e in entries}) == N_ENTRIES
+    return entries
+
+
+def gazetteer_df(spark):
+    """Gazetteer as a (broadcastable) DataFrame: name, lat, lon, popularity."""
+    return spark.createDataFrame(
+        gazetteer(), "name string, lat double, lon double, popularity int"
+    )
+
+
+def gazetteer_values_sql() -> str:
+    """The same gazetteer as an ANSI VALUES relation for the DuckDB oracle."""
+    rows = ",\n".join(
+        f"('{n}', {lat!r}, {lon!r}, {pop})" for n, lat, lon, pop in gazetteer()
+    )
+    return f"(VALUES\n{rows}\n) AS gaz(name, lat, lon, popularity)"
