@@ -1,0 +1,74 @@
+"""Arrow-batched pandas UDF factories over the grid kernels (SURVEY §2.2).
+
+The only Python that ever touches row data in this engine goes through these
+vectorized UDFs (north_rule: no per-row Python).  Grids that expose native
+column hooks (zxy everything; s2 level/parent/range; hex level) never reach
+Python at all — ``cell_col`` below picks the native path automatically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType
+
+from ..grids.base import get_grid
+
+
+def cell_udf(grid_name: str, res: int):
+    """(lat, lon) → cell_id as an Arrow-batched pandas UDF."""
+    @F.pandas_udf(LongType())
+    def _cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        g = get_grid(grid_name)
+        return pd.Series(g.cell(lat.to_numpy(np.float64), lon.to_numpy(np.float64), res))
+    return _cell
+
+
+def cell_col(grid_name: str, lat_col: Column, lon_col: Column, res: int) -> Column:
+    """point→cell, native column expr when the grid supports it, else UDF."""
+    g = get_grid(grid_name)
+    native = g.col_cell(lat_col, lon_col, res)
+    if native is not None:
+        return native
+    return cell_udf(grid_name, res)(lat_col, lon_col)
+
+
+def parent_udf(grid_name: str, res: int):
+    @F.pandas_udf(LongType())
+    def _parent(ids: pd.Series) -> pd.Series:
+        g = get_grid(grid_name)
+        return pd.Series(g.parent(ids.to_numpy(np.int64), res))
+    return _parent
+
+
+def parent_col(grid_name: str, id_col: Column, res: int, from_res: int | None = None) -> Column:
+    g = get_grid(grid_name)
+    try:
+        native = g.col_parent(id_col, res, from_res) if grid_name == "zxy" else g.col_parent(id_col, res)
+    except TypeError:
+        native = None
+    if native is not None:
+        return native
+    return parent_udf(grid_name, res)(id_col)
+
+
+def level_col(grid_name: str, id_col: Column) -> Column:
+    g = get_grid(grid_name)
+    native = g.col_level(id_col)
+    if native is not None:
+        return native
+
+    @F.pandas_udf(LongType())
+    def _level(ids: pd.Series) -> pd.Series:
+        return pd.Series(get_grid(grid_name).level(ids.to_numpy(np.int64)))
+    return _level(id_col)
+
+
+def area_udf(grid_name: str):
+    @F.pandas_udf(DoubleType())
+    def _area(ids: pd.Series) -> pd.Series:
+        g = get_grid(grid_name)
+        return pd.Series(g.area_km2(ids.to_numpy(np.int64)))
+    return _area

@@ -1,0 +1,133 @@
+"""Spatial-index construction — the heavy dataflow (SURVEY §2.3, B1-B3).
+
+Reference: ``OscarSgIndex::create`` (``src/OscarSgIndex.cpp:53-207``) scans
+cell→items→points with a thread pool, an atomic work counter and
+mutex-guarded shared maps, then sort+uniques posting lists.  All of that
+machinery is replaced by one declarative pipeline:
+
+    mentions → (cell_id per grid/res) → groupBy → sorted doc-id postings
+
+Scale notes (the part that must survive 100 TB):
+  * ``mention_cells`` is the big fact table — written partitioned by
+    ``(grid, res)`` and bucketed/sorted by ``cell_id`` so region-query joins
+    co-locate and parquet min-max stats prune by cell range (S2 ids make
+    descendant ranges contiguous).
+  * the postings groupBy is the one unavoidable shuffle; map-side partial
+    aggregation (collect_set is partial-aggregating) + AQE skew split keep
+    hot metro cells bounded.  ``salt`` below adds explicit two-phase
+    aggregation for the known-hot cells (north_rule demands explicit skew
+    handling beyond AQE).
+  * posting lists are ``sort_array(collect_set(doc_id))`` — the RLE-delta
+    compressed ItemIndex analog (``apps/main.cpp:153``); parquet dictionary/
+    RLE encodings replace hand-rolled compression (SURVEY B7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.udfs import cell_col
+
+HOT_SALT_BUCKETS = 8
+
+
+def mention_cells(mentions: DataFrame, grid: str, res: int) -> DataFrame:
+    """mentions → (grid, res, doc_id, name, lat, lon, cell_id)."""
+    return mentions.select(
+        F.lit(grid).alias("grid"),
+        F.lit(res).alias("res"),
+        "doc_id", "name", "lat", "lon",
+        cell_col(grid, F.col("lat"), F.col("lon"), res).alias("cell_id"),
+    )
+
+
+def doc_cells(mcells: DataFrame) -> DataFrame:
+    """Distinct (grid, res, doc_id, cell_id) — the TrixelData triple stream
+    (reference emits (trixel, cell, item) at ``src/OscarSgIndex.cpp:113-128``)."""
+    return mcells.select("grid", "res", "doc_id", "cell_id").dropDuplicates(
+        ["grid", "res", "doc_id", "cell_id"]
+    )
+
+
+def cell_totals(dcells: DataFrame) -> DataFrame:
+    """B3 ``computeTrixelItems`` analog: per cell, the full sorted doc set.
+
+    Explicit two-phase (salted) aggregation: first combine within
+    (cell, salt) groups, then merge the per-salt sets — bounds the single
+    reducer that would otherwise receive an entire hot cell.
+    """
+    salted = dcells.withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(HOT_SALT_BUCKETS))
+    )
+    partial = salted.groupBy("grid", "res", "cell_id", "_salt").agg(
+        F.collect_set("doc_id").alias("_part")
+    )
+    return (
+        partial.groupBy("grid", "res", "cell_id")
+        .agg(F.array_sort(F.array_distinct(F.flatten(F.collect_list("_part")))).alias("doc_ids"))
+        .withColumn("n_docs", F.size("doc_ids").cast("long"))
+    )
+
+
+def cell_counts(dcells: DataFrame) -> DataFrame:
+    """Cheap statistics variant (A1): per-cell doc counts without the arrays."""
+    return dcells.groupBy("grid", "res", "cell_id").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+def region_docs(mcells: DataFrame, regions_poly, spark) -> DataFrame:
+    """(region_id, doc_id) membership via exact PIP over mention coords.
+
+    Reference analog: items belong to GeoHierarchy cells; exactness comes
+    from the triangulation refinement (``src/OscarSgIndex.cpp:106-111``).
+    Our regions are few (~10) and fixed → inline the PIP test per region and
+    union, keeping everything JVM-side.
+    """
+    from ..functions.geo import pip_col
+    from ..sources.regions import REGIONS
+
+    parts = []
+    for rid, _name, _lvl, poly in REGIONS:
+        parts.append(
+            mcells.where(pip_col(F.col("lat"), F.col("lon"), poly))
+            .select(F.lit(rid).alias("region_id"), "doc_id")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["region_id", "doc_id"])
+
+
+def cell_postings(dcells: DataFrame, rdocs: DataFrame) -> DataFrame:
+    """B1 output table: (grid, res, cell_id, region_id, doc_ids, n_docs)."""
+    joined = dcells.join(rdocs, "doc_id")
+    return (
+        joined.groupBy("grid", "res", "cell_id", "region_id")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("doc_ids"))
+        .withColumn("n_docs", F.size("doc_ids").cast("long"))
+    )
+
+
+def region_cells(cpostings: DataFrame) -> DataFrame:
+    """CellTrixelMap analog (``src/OscarSgIndex.cpp:148-156``)."""
+    return cpostings.select("grid", "res", "region_id", "cell_id").dropDuplicates()
+
+
+def index_stats(dcells: DataFrame, grid_name: str) -> DataFrame:
+    """A1/A2: per-res distribution of per-cell doc counts + cell areas."""
+    from ..functions.udfs import area_udf
+
+    per_cell = dcells.groupBy("grid", "res", "cell_id").agg(
+        F.count("*").alias("n_docs")
+    )
+    per_cell = per_cell.withColumn("area_km2", area_udf(grid_name)(F.col("cell_id")))
+    return per_cell.groupBy("grid", "res").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.min("n_docs").cast("long").alias("min_docs"),
+        F.max("n_docs").cast("long").alias("max_docs"),
+        F.sum("n_docs").cast("long").alias("sum_docs"),
+        F.min("area_km2").alias("min_area_km2"),
+        F.max("area_km2").alias("max_area_km2"),
+    )

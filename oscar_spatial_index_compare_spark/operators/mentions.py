@@ -1,0 +1,58 @@
+"""Geo-entity extraction from web text (SURVEY X4) — pure JVM dataflow.
+
+Reference analog: items acquire geometry from the OSM store
+(``src/OscarSgIndex.cpp:104-122``); our documents acquire geometry by
+matching gazetteer place names in ``text``.
+
+Spark-first design: tokenize with built-in ``split``/``transform`` (no UDF),
+explode unigrams+bigrams, then a **broadcast hash join** against the ~200-row
+gazetteer.  At 10^12 docs this is shuffle-free: the only wide op downstream
+is the groupBy that builds postings.  Extraction is a pure function of
+``text`` → byte-identical mention sets across runs and parallelism levels
+(north_rule per-row invariant; asserted in tests/test_determinism.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.gazetteer import gazetteer_df, gazetteer_values_sql
+
+
+def extract_mentions(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, ...) → mentions(doc_id, mention_idx, name, lat, lon).
+
+    A mention is a distinct gazetteer name occurring in the doc's token
+    stream (unigrams and space-joined bigrams).  mention_idx numbers the
+    doc's mentions in name order (deterministic; SQL-reproducible).
+    """
+    toks = F.split(F.col("text"), " ")
+    # adjacent-pair bigrams: zip tokens with their shifted-by-one selves;
+    # the dangling last pair concat()s with NULL → NULL → filtered out
+    bigrams = F.expr(
+        "filter(zip_with(split(text, ' '),"
+        " slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)),"
+        " (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"
+    )
+    cand = F.array_distinct(F.concat(toks, bigrams))
+    exploded = docs.select("doc_id", F.explode(cand).alias("name"))
+    gaz = F.broadcast(gazetteer_df(spark))
+    m = exploded.join(gaz, "name").select("doc_id", "name", "lat", "lon")
+    w = Window.partitionBy("doc_id").orderBy("name")
+    return m.select(
+        "doc_id",
+        F.row_number().over(w).alias("mention_idx"),
+        "name", "lat", "lon",
+    )
+
+
+MENTIONS_ORACLE_SQL = f"""
+SELECT d.doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY g.name) AS INT) AS mention_idx,
+       g.name, g.lat, g.lon
+FROM documents d
+JOIN {gazetteer_values_sql()}
+  ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')
+"""

@@ -68,21 +68,20 @@ def gazetteer() -> list[tuple[str, float, float, int]]:
     # 4) bigrams "w1 w2" until N_ENTRIES, coordinates on a global spiral
     n_bi = N_ENTRIES - len(entries)
     v = VOCAB
-    bi = []
-    k = 0
+    all_pairs = [f"{a_} {b_}" for a_ in v for b_ in v if a_ != b_]
+    # stride through the ordered-pair list for variety (37 coprime to 930)
+    picked: list[str] = []
+    seen: set[str] = set()
     i = 0
-    while len(bi) < n_bi:
-        a_, b_ = v[i % len(v)], v[(i * 7 + 3) % len(v)]
+    while len(picked) < n_bi:
+        name = all_pairs[(i * 37) % len(all_pairs)]
         i += 1
-        if a_ == b_:
-            continue
-        name = f"{a_} {b_}"
-        if any(e[0] == name for e in bi):
-            continue
+        if name not in seen:
+            seen.add(name)
+            picked.append(name)
+    for k, name in enumerate(picked):
         la, lo = _spiral(k, n_bi)
-        k += 1
-        bi.append((name, la, lo, 1))
-    entries.extend(bi)
+        entries.append((name, la, lo, 1))
     assert len(entries) == N_ENTRIES
     assert len({e[0] for e in entries}) == N_ENTRIES
     return entries
@@ -100,4 +99,4 @@ def gazetteer_values_sql() -> str:
     rows = ",\n".join(
         f"('{n}', {lat!r}, {lon!r}, {pop})" for n, lat, lon, pop in gazetteer()
     )
-    return f"(VALUES\n{rows}\n) AS gaz(name, lat, lon, popularity)"
+    return f"(VALUES\n{rows}\n) AS g(name, lat, lon, popularity)"
