@@ -100,16 +100,19 @@ def register(grid: Grid) -> Grid:
     return grid
 
 
+def _populate() -> None:
+    # import-on-demand to avoid cycles; idempotent
+    from . import hex7, s2, zxy  # noqa: F401
+
+
 def get_grid(name: str) -> Grid:
-    # populate on demand to avoid import cycles
-    if not _REGISTRY:
-        from . import hex7, s2, zxy  # noqa: F401
+    if name not in _REGISTRY:
+        _populate()
     return _REGISTRY[name]
 
 
 def grid_names() -> list[str]:
-    if not _REGISTRY:
-        from . import hex7, s2, zxy  # noqa: F401
+    _populate()
     return sorted(_REGISTRY)
 
 

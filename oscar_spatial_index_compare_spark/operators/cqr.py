@@ -1,0 +1,143 @@
+"""Cell-query-result (CQR) algebra — SURVEY §2.4, Q4-Q10.
+
+A CQR is a DataFrame ``(cell_id long, is_fm boolean, doc_ids array<long>)``
+with doc_ids NULL iff is_fm (reference: ``include/hic/static-htm-index.h:
+302-313``).  The set operations reproduce the fm/pm case analysis of the
+reference evaluators (``src/OscarSearchWithSg.cpp:190-198``,
+``src/HcqrOpTree.cpp:106-141``):
+
+  * union        — full-outer join; fm wins
+  * intersection — inner join; fm∩fm→fm, fm∩pm→pm(other side), pm∩pm→array_intersect
+  * difference   — left join; X−∅=X, fm−fm=∅, pm−fm=∅, fm−pm needs cell totals
+  * symdiff      — (L∪R) − (L∩R) composition (reference computes native xor;
+                   set-equivalent, and HCQR doesn't support ^ at all —
+                   ``src/HcqrOpTree.cpp:136-137``)
+  * all_to_full  — Q8 FM_CONVERSION ``*`` (``src/HcqrOpTree.cpp:70-79``)
+  * flatten      — Q10: fm cells pull their full posting list from
+                   cell_totals, pm arrays explode; distinct doc set
+
+Laziness: every op returns an unevaluated DataFrame, so an op-tree becomes
+ONE Catalyst plan — the reference's TreedCQR deferred evaluation
+(``src/static-htm-index.cpp:213-215``) for free (SURVEY Q11/E2).
+
+Scale: joins are equi-joins on cell_id; CQRs inherit the bucketing of the
+postings tables, so same-key joins avoid re-shuffles; AQE handles the hot
+metro cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CQR_COLS = ["cell_id", "is_fm", "doc_ids"]
+
+
+def _norm(df: DataFrame) -> DataFrame:
+    return df.select("cell_id", "is_fm", "doc_ids")
+
+
+def cqr_union(left: DataFrame, right: DataFrame) -> DataFrame:
+    l = _norm(left).alias("l")
+    r = _norm(right).alias("r")
+    j = l.join(r, F.col("l.cell_id") == F.col("r.cell_id"), "full_outer")
+    is_fm = F.coalesce(F.col("l.is_fm"), F.lit(False)) | F.coalesce(
+        F.col("r.is_fm"), F.lit(False)
+    )
+    doc_ids = (
+        F.when(is_fm, F.lit(None))
+        .when(F.col("l.doc_ids").isNull(), F.col("r.doc_ids"))
+        .when(F.col("r.doc_ids").isNull(), F.col("l.doc_ids"))
+        .otherwise(F.array_sort(F.array_union(F.col("l.doc_ids"), F.col("r.doc_ids"))))
+    )
+    return j.select(
+        F.coalesce(F.col("l.cell_id"), F.col("r.cell_id")).alias("cell_id"),
+        is_fm.alias("is_fm"),
+        doc_ids.alias("doc_ids"),
+    )
+
+
+def cqr_intersect(left: DataFrame, right: DataFrame) -> DataFrame:
+    l = _norm(left).alias("l")
+    r = _norm(right).alias("r")
+    j = l.join(r, F.col("l.cell_id") == F.col("r.cell_id"), "inner")
+    is_fm = F.col("l.is_fm") & F.col("r.is_fm")
+    doc_ids = (
+        F.when(is_fm, F.lit(None))
+        .when(F.col("l.is_fm"), F.col("r.doc_ids"))
+        .when(F.col("r.is_fm"), F.col("l.doc_ids"))
+        .otherwise(F.array_sort(F.array_intersect(F.col("l.doc_ids"), F.col("r.doc_ids"))))
+    )
+    out = j.select(
+        F.col("l.cell_id").alias("cell_id"), is_fm.alias("is_fm"), doc_ids.alias("doc_ids")
+    )
+    return out.where(F.col("is_fm") | (F.size("doc_ids") > 0))
+
+
+def cqr_difference(left: DataFrame, right: DataFrame, ctotals: DataFrame) -> DataFrame:
+    """L − R.  ``ctotals``: (cell_id, doc_ids) full per-cell lists — joined
+    lazily and only for the fm−pm cells (SURVEY §7 hard-part 3)."""
+    l = _norm(left).alias("l")
+    r = _norm(right).alias("r")
+    j = l.join(r, F.col("l.cell_id") == F.col("r.cell_id"), "left")
+    passthrough = j.where(F.col("r.cell_id").isNull()).select(
+        F.col("l.cell_id").alias("cell_id"),
+        F.col("l.is_fm").alias("is_fm"),
+        F.col("l.doc_ids").alias("doc_ids"),
+    )
+    pm_pm = (
+        j.where(F.col("r.cell_id").isNotNull() & ~F.col("l.is_fm") & ~F.col("r.is_fm"))
+        .select(
+            F.col("l.cell_id").alias("cell_id"),
+            F.lit(False).alias("is_fm"),
+            F.array_sort(F.array_except(F.col("l.doc_ids"), F.col("r.doc_ids"))).alias("doc_ids"),
+        )
+        .where(F.size("doc_ids") > 0)
+    )
+    fm_pm = (
+        j.where(F.col("r.cell_id").isNotNull() & F.col("l.is_fm") & ~F.col("r.is_fm"))
+        .select(F.col("l.cell_id").alias("cell_id"), F.col("r.doc_ids").alias("r_docs"))
+        .join(ctotals.select("cell_id", F.col("doc_ids").alias("t_docs")), "cell_id")
+        .select(
+            "cell_id",
+            F.lit(False).alias("is_fm"),
+            F.array_sort(F.array_except(F.col("t_docs"), F.col("r_docs"))).alias("doc_ids"),
+        )
+        .where(F.size("doc_ids") > 0)
+    )
+    # fm−fm and pm−fm vanish
+    return passthrough.unionByName(pm_pm).unionByName(fm_pm)
+
+
+def cqr_symdiff(left: DataFrame, right: DataFrame, ctotals: DataFrame) -> DataFrame:
+    u = cqr_union(left, right)
+    i = cqr_intersect(left, right)
+    return cqr_difference(u, i, ctotals)
+
+
+def cqr_all_to_full(cqr: DataFrame) -> DataFrame:
+    return _norm(cqr).select(
+        "cell_id", F.lit(True).alias("is_fm"),
+        F.lit(None).cast("array<long>").alias("doc_ids"),
+    )
+
+
+def cqr_flatten(cqr: DataFrame, ctotals: DataFrame) -> DataFrame:
+    """→ DataFrame(doc_id) distinct — Q10 ``flaten``."""
+    c = _norm(cqr)
+    fm = (
+        c.where(F.col("is_fm"))
+        .join(ctotals.select("cell_id", F.col("doc_ids").alias("t_docs")), "cell_id")
+        .select(F.explode("t_docs").alias("doc_id"))
+    )
+    pm = c.where(~F.col("is_fm")).select(F.explode("doc_ids").alias("doc_id"))
+    return fm.unionByName(pm).dropDuplicates(["doc_id"])
+
+
+def cqr_stats(cqr: DataFrame) -> DataFrame:
+    """Q12-ish metrics: cell count, fm/pm split, pm item total."""
+    return _norm(cqr).agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(F.col("is_fm").cast("long")).cast("long").alias("n_fm"),
+        F.sum(F.when(F.col("is_fm"), 0).otherwise(F.size("doc_ids"))).cast("long").alias("pm_items"),
+    )

@@ -1,0 +1,96 @@
+"""Token/search index build — B4/B5 (SURVEY §2.3).
+
+Reference: ``OscarSearchSgIndex::create`` workers intersect each token's
+matched items with per-trixel postings (two-pointer merge,
+``src/OscarSearchSgIndex.cpp:144-161``) and classify each trixel full-match
+vs partial-match by comparing matched-count to the trixel total
+(``src/OscarSearchSgIndex.cpp:178-197``).
+
+Spark shape: one chained DataFrame —
+
+    token_docs (explode text) ⋈ doc_cells → groupBy(token, cell)
+      → n_matched, matched doc array
+      ⋈ cell_totals → is_fm = (n_matched == n_total); doc_ids NULL iff fm
+
+The fm bit is the reference's "store 1 bit instead of the item list"
+compression (SURVEY §4): fm rows carry NULL doc_ids and flatten() recovers
+the full list from cell_totals — at 100 TB this is the dominant
+postings-size saver for common tokens.
+
+Query types: the reference pre-materializes exact/prefix/suffix/substring
+payloads per trie node (``include/hic/OscarSearchSgIndex.h:29-35``).  We
+materialize ``exact`` postings; prefix/suffix/substring leaves expand to the
+matching token set against the (small, broadcastable) token dictionary at
+plan time and union exact postings — on Spark the lazy union plan beats
+4x index duplication (decision recorded in SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def token_docs(docs: DataFrame) -> DataFrame:
+    """(token, doc_id) distinct pairs from the document token stream."""
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
+    )
+
+
+def token_postings(tdocs: DataFrame, dcells: DataFrame, ctotals: DataFrame) -> DataFrame:
+    """→ (token, qt, grid, res, cell_id, is_fm, doc_ids, n_docs).
+
+    ``dcells``: doc_cells at one or more (grid, res); ``ctotals``:
+    cell_totals for the same keys.
+    """
+    j = tdocs.join(dcells, "doc_id")
+    matched = j.groupBy("token", "grid", "res", "cell_id").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("m_docs"),
+        F.countDistinct("doc_id").alias("n_matched"),
+    )
+    out = matched.join(
+        ctotals.select("grid", "res", "cell_id", F.col("n_docs").alias("n_total")),
+        ["grid", "res", "cell_id"],
+    )
+    return out.select(
+        "token",
+        F.lit("exact").alias("qt"),
+        "grid", "res", "cell_id",
+        (F.col("n_matched") == F.col("n_total")).alias("is_fm"),
+        F.when(F.col("n_matched") == F.col("n_total"), F.lit(None)).otherwise(
+            F.col("m_docs")
+        ).alias("doc_ids"),
+        F.col("n_matched").cast("long").alias("n_docs"),
+    )
+
+
+def match_tokens(all_tokens: list[str], pattern: str, qt: str) -> list[str]:
+    """Expand a leaf pattern to matching dictionary tokens for the given
+    query type — the trie lookup analog (plan-time, driver-side)."""
+    if qt == "exact":
+        return [t for t in all_tokens if t == pattern]
+    if qt == "prefix":
+        return [t for t in all_tokens if t.startswith(pattern)]
+    if qt == "suffix":
+        return [t for t in all_tokens if t.endswith(pattern)]
+    if qt == "substring":
+        return [t for t in all_tokens if pattern in t]
+    raise ValueError(qt)
+
+
+QT_FALLBACK = {
+    # reference fallback chain substring→prefix→suffix→exact
+    # (src/OscarSearchWithSg.cpp:71-86, src/static-htm-index.cpp:83-105)
+    "substring": ["substring", "prefix", "suffix", "exact"],
+    "prefix": ["prefix", "exact"],
+    "suffix": ["suffix", "exact"],
+    "exact": ["exact"],
+}
+
+
+def resolve_qt(requested: str, available: set[str]) -> str:
+    for qt in QT_FALLBACK[requested]:
+        if qt in available:
+            return qt
+    raise KeyError(f"no query type available for {requested!r}")

@@ -1,0 +1,136 @@
+"""Op-tree query language parser (SURVEY §2.4, Q1-Q9).
+
+Reference: liboscar's ``AdvancedOpTree`` (parsed in
+``src/static-htm-index.cpp:210-213``).  Grammar reproduced here:
+
+    expr   := term  (('+' | '-' | '^') term)*          (union/diff/symdiff)
+    term   := factor (('/' factor) | factor)*          (intersection; bare
+                                                        adjacency == '/')
+    factor := '!' factor | '(' expr ')' | leaf
+    leaf   := token            exact        ("join")
+            | token '*'        prefix       ("jo*")
+            | '*' token        suffix       ("*in")
+            | '*' token '*'    substring    ("*oi*")
+            | '$region:' id    region leaf  (Q3)
+            | '$cell:' id      grid-cell leaf (Q3)
+            | '$poly:' name    polygon leaf (X1; reference stubs these — Q9)
+
+'!' is FM_CONVERSION (reference spells it '*',
+``src/OscarSearchWithSg.cpp:165``; renamed here because '*' is taken by the
+prefix/suffix markers that the reference handles in its trie normalizer).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Node:
+    op: str  # union|inter|diff|sym|fm|token|region|cell|poly
+    args: tuple = ()
+
+    def __repr__(self):  # compact for test output
+        return f"({self.op} {' '.join(map(repr, self.args))})"
+
+
+_TOKEN_RE = re.compile(r"[\w.$:*-]+", re.UNICODE)
+
+
+def _lex(s: str) -> list[str]:
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c in "()+-^/!":
+            out.append(c)
+            i += 1
+            continue
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise ValueError(f"bad character {c!r} at {i} in {s!r}")
+        out.append(m.group(0))
+        i = m.end()
+    return out
+
+
+_BINOPS = {"+": "union", "-": "diff", "^": "sym"}
+
+
+class _Parser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse(self) -> Node:
+        n = self.expr()
+        if self.peek() is not None:
+            raise ValueError(f"trailing input at {self.toks[self.i:]}")
+        return n
+
+    def expr(self) -> Node:
+        n = self.term()
+        while self.peek() in _BINOPS:
+            op = self.next()
+            n = Node(_BINOPS[op], (n, self.term()))
+        return n
+
+    def term(self) -> Node:
+        n = self.factor()
+        while True:
+            p = self.peek()
+            if p == "/":
+                self.next()
+                n = Node("inter", (n, self.factor()))
+            elif p is not None and p not in _BINOPS and p not in (")",):
+                n = Node("inter", (n, self.factor()))  # bare adjacency
+            else:
+                return n
+
+    def factor(self) -> Node:
+        p = self.peek()
+        if p == "!":
+            self.next()
+            return Node("fm", (self.factor(),))
+        if p == "(":
+            self.next()
+            n = self.expr()
+            if self.next() != ")":
+                raise ValueError("expected )")
+            return n
+        return self.leaf()
+
+    def leaf(self) -> Node:
+        t = self.next()
+        if t is None:
+            raise ValueError("unexpected end of input")
+        if t.startswith("$region:"):
+            return Node("region", (int(t[len("$region:"):]),))
+        if t.startswith("$cell:"):
+            return Node("cell", (int(t[len("$cell:"):]),))
+        if t.startswith("$poly:"):
+            return Node("poly", (t[len("$poly:"):],))
+        qt = "exact"
+        pat = t
+        if pat.startswith("*") and pat.endswith("*") and len(pat) > 2:
+            qt, pat = "substring", pat[1:-1]
+        elif pat.endswith("*") and len(pat) > 1:
+            qt, pat = "prefix", pat[:-1]
+        elif pat.startswith("*") and len(pat) > 1:
+            qt, pat = "suffix", pat[1:]
+        return Node("token", (pat, qt))
+
+
+def parse(query: str) -> Node:
+    return _Parser(_lex(query)).parse()

@@ -1,0 +1,198 @@
+"""Op-tree → DataFrame planner (SURVEY E2, §4).
+
+Recursively lowers a parsed op-tree to ONE lazy Catalyst plan over the
+postings tables.  Reproduces the reference evaluators' structure
+(``SgOpTree::calc`` ``include/hic/static-htm-index.h:197-299``,
+``HcqrOpTree::calc`` ``src/HcqrOpTree.cpp:13-153``) with their
+empty-operand short-circuits (``src/HcqrOpTree.cpp:106-135``) done at plan
+time: a statically-empty leaf (no dictionary token matches the pattern)
+propagates ``None`` upward, pruning whole subtrees before Spark sees them.
+
+The planner is deliberately driver-side-only Python — no Catalyst extension
+needed (SURVEY §4 decision): leaves are filters on postings tables, inner
+nodes are the cqr_* joins, and Catalyst/AQE handle the physical plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cqr import (
+    cqr_all_to_full,
+    cqr_difference,
+    cqr_flatten,
+    cqr_intersect,
+    cqr_symdiff,
+    cqr_union,
+)
+from ..operators.token_index import match_tokens
+from ..sources.regions import region_by_id, region_by_name
+from .optree import Node, parse
+
+
+@dataclass
+class QueryContext:
+    """Everything a query needs, for one (grid, res)."""
+
+    spark: SparkSession
+    grid: str
+    res: int
+    mcells: DataFrame          # (grid,res,doc_id,name,lat,lon,cell_id)
+    ctotals: DataFrame         # (cell_id, doc_ids, n_docs) at (grid,res)
+    tpostings: DataFrame       # token_postings at (grid,res), qt='exact'
+    tokens: list[str] = field(default_factory=list)  # token dictionary
+
+
+class Planner:
+    def __init__(self, ctx: QueryContext):
+        self.ctx = ctx
+
+    # -- public -------------------------------------------------------------
+    def cqr(self, query: str) -> DataFrame | None:
+        """Query string → CQR DataFrame (None == statically empty)."""
+        return self._eval(parse(query))
+
+    def docs(self, query: str) -> DataFrame:
+        """Query string → flattened distinct doc_id DataFrame (Q10)."""
+        c = self.cqr(query)
+        if c is None:
+            return self.ctx.spark.range(0).select(F.col("id").alias("doc_id"))
+        return cqr_flatten(c, self.ctx.ctotals)
+
+    # -- node lowering --------------------------------------------------------
+    def _eval(self, n: Node) -> DataFrame | None:
+        ctx = self.ctx
+        if n.op == "token":
+            pat, qt = n.args
+            matched = match_tokens(ctx.tokens, pat, qt)
+            if not matched:
+                return None
+            tp = ctx.tpostings.where(F.col("token").isin(matched))
+            if len(matched) == 1:
+                return tp.select("cell_id", "is_fm", "doc_ids")
+            # multi-token (prefix/suffix/substring) → per-cell union; fm wins
+            return tp.groupBy("cell_id").agg(
+                F.max("is_fm").alias("is_fm"),
+                F.when(
+                    F.max("is_fm"), F.lit(None)
+                ).otherwise(
+                    F.array_sort(F.array_distinct(F.flatten(F.collect_list("doc_ids"))))
+                ).alias("doc_ids"),
+            )
+        if n.op in ("region", "poly"):
+            poly = region_by_id(n.args[0]) if n.op == "region" else region_by_name(n.args[0])
+            return self._region_cqr(poly)
+        if n.op == "cell":
+            return ctx.spark.createDataFrame(
+                [(int(n.args[0]), True, None)], "cell_id long, is_fm boolean, doc_ids array<long>"
+            )
+        if n.op == "fm":
+            c = self._eval(n.args[0])
+            return None if c is None else cqr_all_to_full(c)
+        l = self._eval(n.args[0])
+        r = self._eval(n.args[1])
+        # empty-operand short-circuits (reference: HcqrOpTree.cpp:106-135)
+        if n.op == "union":
+            if l is None:
+                return r
+            if r is None:
+                return l
+            return cqr_union(l, r)
+        if n.op == "inter":
+            if l is None or r is None:
+                return None
+            return cqr_intersect(l, r)
+        if n.op == "diff":
+            if l is None:
+                return None
+            if r is None:
+                return l
+            return cqr_difference(l, r, self.ctx.ctotals)
+        if n.op == "sym":
+            if l is None:
+                return r
+            if r is None:
+                return l
+            return cqr_symdiff(l, r, self.ctx.ctotals)
+        raise ValueError(n.op)
+
+    def _region_cqr(self, poly: np.ndarray) -> DataFrame:
+        """Polygon leaf → CQR: res-level fm cells inside + pm boundary cells
+        with exact-PIP doc lists (the CQR face of operators/region_query)."""
+        from ..functions.geo import pip_col
+        from ..functions.udfs import parent_col
+        from ..grids.base import get_grid
+
+        ctx = self.ctx
+        g = get_grid(ctx.grid)
+        full, boundary = g.covering(poly, ctx.res)
+        spark = ctx.spark
+        parts: list[DataFrame] = []
+        present = ctx.ctotals.select("cell_id")  # distinct cells with docs
+        if len(full):
+            if ctx.grid == "s2":
+                lo, hi = g.range_bounds(full)
+                ranges = F.broadcast(spark.createDataFrame(
+                    [(int(a), int(b)) for a, b in zip(lo, hi)], "lo long, hi long"
+                ))
+                parts.append(
+                    present.join(
+                        ranges,
+                        (F.col("cell_id") >= F.col("lo")) & (F.col("cell_id") <= F.col("hi")),
+                    ).select(
+                        "cell_id", F.lit(True).alias("is_fm"),
+                        F.lit(None).cast("array<long>").alias("doc_ids"),
+                    )
+                )
+            else:
+                lvls = g.level(full)
+                for lvl in np.unique(lvls):
+                    cells = [(int(c),) for c in full[lvls == lvl]]
+                    cdf = F.broadcast(spark.createDataFrame(cells, "fcell long"))
+                    if int(lvl) == ctx.res:
+                        cond = F.col("cell_id") == F.col("fcell")
+                        parts.append(present.join(cdf, cond).select(
+                            "cell_id", F.lit(True).alias("is_fm"),
+                            F.lit(None).cast("array<long>").alias("doc_ids"),
+                        ))
+                    else:
+                        anc = present.withColumn(
+                            "anc", parent_col(ctx.grid, F.col("cell_id"), int(lvl), from_res=ctx.res)
+                        )
+                        parts.append(anc.join(cdf, F.col("anc") == F.col("fcell")).select(
+                            "cell_id", F.lit(True).alias("is_fm"),
+                            F.lit(None).cast("array<long>").alias("doc_ids"),
+                        ))
+        if len(boundary):
+            bdf = F.broadcast(spark.createDataFrame(
+                [(int(c),) for c in boundary], "bcell long"
+            ))
+            cand = ctx.mcells.join(bdf, F.col("cell_id") == F.col("bcell"))
+            pm = (
+                cand.where(pip_col(F.col("lat"), F.col("lon"), poly))
+                .groupBy("cell_id")
+                .agg(F.array_sort(F.collect_set("doc_id")).alias("m_docs"))
+            )
+            # a boundary cell where *every* doc matches is fm (classification
+            # invariant, reference src/OscarSearchSgIndex.cpp:178-197)
+            pm = pm.join(
+                ctx.ctotals.select("cell_id", F.col("n_docs").alias("n_total")), "cell_id"
+            ).select(
+                "cell_id",
+                (F.size("m_docs") == F.col("n_total")).alias("is_fm"),
+                F.when(F.size("m_docs") == F.col("n_total"), F.lit(None))
+                .otherwise(F.col("m_docs")).alias("doc_ids"),
+            )
+            parts.append(pm)
+        if not parts:
+            return self.ctx.spark.createDataFrame(
+                [], "cell_id long, is_fm boolean, doc_ids array<long>"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
