@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship op-tree region∩token query on sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2; the driver runs both sides at sf=0.01 and compares row count +
+schema + order-insensitive value hash.
 """
 
 from __future__ import annotations
@@ -12,27 +11,277 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from oscar_spatial_index_compare_spark.engine import Engine
+from oscar_spatial_index_compare_spark.grids.zxy import ZXY
+from oscar_spatial_index_compare_spark.operators.knn import knn_docs, knn_oracle_sql
+from oscar_spatial_index_compare_spark.operators.mentions import MENTIONS_ORACLE_SQL
+from oscar_spatial_index_compare_spark.operators.region_query import (
+    region_query_docs,
+    region_query_oracle_sql,
+)
+from oscar_spatial_index_compare_spark.operators.tiles import tiles, tiles_oracle_sql
+from oscar_spatial_index_compare_spark.plans.oracle import optree_oracle_sql
+from oscar_spatial_index_compare_spark.sources.gazetteer import gazetteer_values_sql
+from oscar_spatial_index_compare_spark.sources.regions import REGIONS, region_by_name
+
+_ENGINES: dict[tuple[str, str], Engine] = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> Engine:
+    key = (str(id(spark)), sf_dir)
+    if key not in _ENGINES:
+        _ENGINES[key] = Engine(spark, sf_dir)
+    return _ENGINES[key]
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Region ∩ token op-tree query on sf0.001, docs joined back to urls."""
+    from oscar_spatial_index_compare_spark.sources.tables import documents_cc
+
+    sf = "/root/testdata/sf0.001"
+    eng = _engine(spark, sf)
+    docs = eng.query_docs("$region:2 / join", grid="s2", res=10)
+    cc = documents_cc(spark, sf).select("doc_id", "url", "lang")
+    return docs.join(cc, "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# queries / oracles
+# ---------------------------------------------------------------------------
+
+_ZRES = 9
+_KNN_QUERIES = [(1, 48.86, 2.36, 5), (2, -33.0, 151.0, 10), (3, 89.0, 10.0, 3), (4, 0.0, 0.0, 7)]
+_OPTREES = {
+    "optree_intersect": "join / window",
+    "optree_union": "dup + spark",
+    "optree_diff": "join - dup",
+    "optree_symdiff": "dup ^ spark",
+    "optree_complex": "(join + dup) / window - spark",
+    "optree_prefix": "jo*",
+    "optree_suffix": "*up",
+    "optree_substring": "*par*",
+    "optree_region_token": "$region:1 / dup",
+    "optree_poly_union": "$poly:concave_c + $region:6",
+    "optree_nested": "(($region:2 - $region:1) / join) + (dup / $poly:east_am)",
+    "optree_empty_leaf": "nosuchtoken + dup",
+}
+_OPTREES_ZXY = {
+    "optree_fm_conversion": "!dup / spark",
+    "optree_fm_region": "!($region:1) - spark",
+}
+_TOKENS_FOR_POSTINGS = ["join", "dup", "spark", "window", "the"]
+
+
+def _mentions(spark, sf):
+    return _engine(spark, sf).mentions
+
+
+def _doc_cells_zxy(spark, sf):
+    m = _mentions(spark, sf)
+    cell = ZXY.col_cell(F.col("lat"), F.col("lon"), _ZRES)
+    return m.select("doc_id", cell.alias("cell_id")).dropDuplicates()
+
+
+def _cell_counts_zxy(spark, sf):
+    return (
+        _doc_cells_zxy(spark, sf)
+        .groupBy("cell_id")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _index_stats_zxy(spark, sf):
+    m = _mentions(spark, sf)
+    parts = []
+    for res in (6, 9, 12):
+        cell = ZXY.col_cell(F.col("lat"), F.col("lon"), res)
+        dc = m.select("doc_id", cell.alias("cell_id")).dropDuplicates()
+        per_cell = dc.groupBy("cell_id").agg(F.count("*").alias("n"))
+        parts.append(per_cell.agg(
+            F.lit(res).alias("res"),
+            F.count("*").cast("long").alias("n_cells"),
+            F.min("n").cast("long").alias("min_docs"),
+            F.max("n").cast("long").alias("max_docs"),
+            F.sum("n").cast("long").alias("sum_docs"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _index_stats_zxy_sql() -> str:
+    sels = []
+    for res in (6, 9, 12):
+        cell = ZXY.cell_sql("g.lat", "g.lon", res)
+        sels.append(f"""
+SELECT {res} AS res, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(MIN(n) AS BIGINT) AS min_docs, CAST(MAX(n) AS BIGINT) AS max_docs,
+       CAST(SUM(n) AS BIGINT) AS sum_docs
+FROM (
+  SELECT cell_id, COUNT(*) AS n FROM (
+    SELECT DISTINCT d.doc_id, {cell} AS cell_id
+    FROM documents d JOIN {gazetteer_values_sql()}
+      ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')
+  ) GROUP BY cell_id
+)""")
+    return "\nUNION ALL\n".join(sels)
+
+
+def _region_query(rname: str, grid: str, res: int):
+    def fn(spark, sf):
+        eng = _engine(spark, sf)
+        ctx = eng.context(grid, res)
+        return region_query_docs(spark, ctx.mcells, region_by_name(rname), grid, res)
+    return fn
+
+
+def _region_counts(spark, sf):
+    eng = _engine(spark, sf)
+    ctx = eng.context("s2", 10)
+    parts = []
+    for rid, name, _lvl, poly in REGIONS:
+        d = region_query_docs(spark, ctx.mcells, poly, "s2", 10)
+        parts.append(d.agg(
+            F.lit(rid).cast("long").alias("region_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _region_counts_sql() -> str:
+    sels = []
+    for rid, _name, _lvl, poly in REGIONS:
+        sels.append(
+            f"SELECT CAST({rid} AS BIGINT) AS region_id,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_docs FROM ({region_query_oracle_sql(poly)})"
+        )
+    return "\nUNION ALL\n".join(sels)
+
+
+def _optree(q: str, grid: str, res: int):
+    def fn(spark, sf):
+        return _engine(spark, sf).query_docs(q, grid=grid, res=res)
+    return fn
+
+
+def _token_postings_stats(spark, sf):
+    eng = _engine(spark, sf)
+    ctx = eng.context("zxy", _ZRES)
+    tp = ctx.tpostings.where(F.col("token").isin(_TOKENS_FOR_POSTINGS))
+    return tp.groupBy("token").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(F.col("is_fm").cast("long")).cast("long").alias("n_fm"),
+        F.sum("n_docs").cast("long").alias("sum_matched"),
+    )
+
+
+def _token_postings_stats_sql() -> str:
+    cell = ZXY.cell_sql("g.lat", "g.lon", _ZRES)
+    toks = ", ".join(f"'{t}'" for t in _TOKENS_FOR_POSTINGS)
+    return f"""
+WITH cells AS (
+  SELECT DISTINCT d.doc_id, {cell} AS cell_id
+  FROM documents d JOIN {gazetteer_values_sql()}
+    ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')
+), tot AS (
+  SELECT cell_id, COUNT(DISTINCT doc_id) AS n_total FROM cells GROUP BY 1
+), td AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token IN ({toks})
+), m AS (
+  SELECT td.token, c.cell_id, COUNT(DISTINCT c.doc_id) AS n_matched
+  FROM td JOIN cells c USING (doc_id) GROUP BY 1, 2
+)
+SELECT m.token, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN m.n_matched = tot.n_total THEN 1 ELSE 0 END) AS BIGINT) AS n_fm,
+       CAST(SUM(m.n_matched) AS BIGINT) AS sum_matched
+FROM m JOIN tot USING (cell_id)
+GROUP BY m.token
+"""
+
+
+def _knn(spark, sf):
+    eng = _engine(spark, sf)
+    ctx = eng.context("h3", 6)
+    return knn_docs(spark, ctx.mcells, _KNN_QUERIES, "h3", 6)
+
+
+def _tiles(spark, sf):
+    return tiles(_mentions(spark, sf), [3, 8, 12])
+
+
+def _documents_cc(spark, sf):
+    from oscar_spatial_index_compare_spark.sources.tables import documents_cc
+    return documents_cc(spark, sf).select("doc_id", "url", "warc_ts", "text", "lang")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable] = {
+        "documents_cc": _documents_cc,
+        "mentions": _mentions,
+        "doc_cells_zxy9": _doc_cells_zxy,
+        "cell_counts_zxy9": _cell_counts_zxy,
+        "index_stats_zxy": _index_stats_zxy,
+        "tiles_z3_8_12": _tiles,
+        "region_metro_s2": _region_query("metro", "s2", 10),
+        "region_concave_s2": _region_query("concave_c", "s2", 10),
+        "region_polar_s2": _region_query("polar", "s2", 10),
+        "region_south_h3": _region_query("south_pent", "h3", 5),
+        "region_country_zxy": _region_query("country", "zxy", _ZRES),
+        "region_counts_all": _region_counts,
+        "token_postings_stats": _token_postings_stats,
+        "knn_h3": _knn,
+    }
+    for name, tree in _OPTREES.items():
+        q[name] = _optree(tree, "s2", 10)
+    for name, tree in _OPTREES_ZXY.items():
+        q[name] = _optree(tree, "zxy", _ZRES)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = {
+        "documents_cc": (
+            "SELECT doc_id,"
+            " 'https://' || source || '.example.com/page/' || CAST(doc_id AS VARCHAR) AS url,"
+            " TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id * 17) AS warc_ts,"
+            " text, lang FROM documents"
+        ),
+        "mentions": MENTIONS_ORACLE_SQL,
+        "doc_cells_zxy9": f"""
+SELECT DISTINCT d.doc_id, {ZXY.cell_sql('g.lat', 'g.lon', _ZRES)} AS cell_id
+FROM documents d JOIN {gazetteer_values_sql()}
+  ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')""",
+        "cell_counts_zxy9": f"""
+SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+  SELECT DISTINCT d.doc_id, {ZXY.cell_sql('g.lat', 'g.lon', _ZRES)} AS cell_id
+  FROM documents d JOIN {gazetteer_values_sql()}
+    ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')
+) GROUP BY cell_id""",
+        "index_stats_zxy": _index_stats_zxy_sql(),
+        "tiles_z3_8_12": tiles_oracle_sql([3, 8, 12]),
+        "region_metro_s2": region_query_oracle_sql(region_by_name("metro")),
+        "region_concave_s2": region_query_oracle_sql(region_by_name("concave_c")),
+        "region_polar_s2": region_query_oracle_sql(region_by_name("polar")),
+        "region_south_h3": region_query_oracle_sql(region_by_name("south_pent")),
+        "region_country_zxy": region_query_oracle_sql(region_by_name("country")),
+        "region_counts_all": _region_counts_sql(),
+        "token_postings_stats": _token_postings_stats_sql(),
+        "knn_h3": knn_oracle_sql(_KNN_QUERIES),
+    }
+    for name, tree in _OPTREES.items():
+        o[name] = optree_oracle_sql(tree, res=_ZRES)
+    for name, tree in _OPTREES_ZXY.items():
+        o[name] = optree_oracle_sql(tree, res=_ZRES)
+    return o

@@ -2,17 +2,28 @@
 
 Mirrors the planner node-for-node in plain ANSI SQL over the raw
 ``documents`` table (the driver's correctness harness runs these
-side-by-side with the Spark plans).  The compositional invariant that makes
-flattened CQR algebra equal doc-set algebra —
+side-by-side with the Spark plans) — the reference's differential
+verification against OSCAR's original cell index (``apps/main.cpp:193-205``)
+with DuckDB in the oracle seat.
 
-    node.docs(C) = docs(node) ∩ docs-in-C   for every cell C
+Lowering model: every op-tree node denotes a **support relation**
+``S(node) ⊆ (doc_id, cell_id)`` — the per-cell doc lists of its CQR with
+full-match rows expanded to the whole cell population:
 
-— holds inductively for every operator (leaves by construction; set ops by
-the fm/pm case analysis; proof sketch in tests/test_optree.py), so the
-oracle lowers each node to doc-set INTERSECT/UNION/EXCEPT and FM_CONVERSION
-to the "docs sharing a cell with child docs" query.  This replicates the
-reference's differential verification against OSCAR's original cell index
-(``apps/main.cpp:193-205``) with DuckDB in the oracle seat.
+  * token leaf   S = docs-matching-token × their mention cells
+  * region leaf  S = (doc, cell) of mentions strictly inside the polygon
+  * cell leaf    S = all (doc, cell) rows of that one cell
+  * ∪ / ∩ / −    plain UNION / INTERSECT / EXCEPT on the pairs — the CQR
+                 fm/pm case analysis (fm∩pm→pm, fm−pm→totals-except, …) is
+                 exactly pairwise set algebra once fm is expanded
+  * fm (Q8)      S = all (doc, cell) pairs of the cells where the child's
+                 support is non-empty
+  * flatten      π_doc(S)
+
+This makes region/poly leaves and FM_CONVERSION composable in the oracle in
+any nesting (the naive doc-set-only lowering breaks for fm over regions:
+a region CQR holds only the cells *inside* the region, not every cell its
+matching docs touch).
 """
 
 from __future__ import annotations
@@ -22,15 +33,21 @@ from ..sources.gazetteer import gazetteer_values_sql
 from ..sources.regions import region_by_id, region_by_name
 from .optree import Node, parse
 
-_MENTIONS_CTE = f"""mentions AS (
-  SELECT d.doc_id, g.name, g.lat, g.lon
+
+def _ctes(res: int) -> str:
+    cell = ZXY.cell_sql("m.lat", "m.lon", res)
+    return f"""mentions AS (
+  SELECT d.doc_id, d.text, g.name, g.lat, g.lon
   FROM documents d
   JOIN {gazetteer_values_sql()}
     ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')
+),
+mcells AS (
+  SELECT DISTINCT m.doc_id, {cell} AS cell_id FROM mentions m
 )"""
 
 
-def _token_sql(pat: str, qt: str) -> str:
+def _token_docs_sql(pat: str, qt: str) -> str:
     if qt == "exact":
         cond = f"list_contains(string_split(text, ' '), '{pat}')"
     elif qt == "prefix":
@@ -39,31 +56,35 @@ def _token_sql(pat: str, qt: str) -> str:
         cond = f"len(list_filter(string_split(text, ' '), t -> t LIKE '%{pat}')) > 0"
     else:  # substring
         cond = f"len(list_filter(string_split(text, ' '), t -> t LIKE '%{pat}%')) > 0"
-    return f"SELECT DISTINCT doc_id FROM documents WHERE {cond}"
+    return f"SELECT doc_id FROM documents WHERE {cond}"
 
 
-def _docs_sql(n: Node, res: int) -> str:
+def _support_sql(n: Node, res: int) -> str:
+    """SQL producing the (doc_id, cell_id) support relation of the node."""
     cell = ZXY.cell_sql("m.lat", "m.lon", res)
     if n.op == "token":
-        return _token_sql(*n.args)
+        return (
+            f"SELECT doc_id, cell_id FROM mcells WHERE doc_id IN "
+            f"({_token_docs_sql(*n.args)})"
+        )
     if n.op in ("region", "poly"):
         from ..functions.geo import pip_sql
 
         poly = region_by_id(n.args[0]) if n.op == "region" else region_by_name(n.args[0])
         return (
-            "SELECT DISTINCT doc_id FROM mentions m WHERE "
-            + pip_sql("m.lat", "m.lon", poly)
+            f"SELECT DISTINCT m.doc_id, {cell} AS cell_id FROM mentions m "
+            f"WHERE {pip_sql('m.lat', 'm.lon', poly)}"
         )
     if n.op == "cell":
-        return f"SELECT DISTINCT doc_id FROM mentions m WHERE {cell} = {n.args[0]}"
+        return f"SELECT doc_id, cell_id FROM mcells WHERE cell_id = {n.args[0]}"
     if n.op == "fm":
-        child = _docs_sql(n.args[0], res)
+        child = _support_sql(n.args[0], res)
         return (
-            f"SELECT DISTINCT m.doc_id FROM mentions m WHERE {cell} IN ("
-            f"SELECT DISTINCT {cell} FROM mentions m WHERE m.doc_id IN ({child}))"
+            f"SELECT doc_id, cell_id FROM mcells WHERE cell_id IN ("
+            f"SELECT DISTINCT cell_id FROM ({child}))"
         )
-    l = _docs_sql(n.args[0], res)
-    r = _docs_sql(n.args[1], res)
+    l = _support_sql(n.args[0], res)
+    r = _support_sql(n.args[1], res)
     if n.op == "union":
         return f"SELECT * FROM ({l}) UNION SELECT * FROM ({r})"
     if n.op == "inter":
@@ -79,11 +100,15 @@ def _docs_sql(n: Node, res: int) -> str:
 
 
 def optree_oracle_sql(query: str, res: int = 9) -> str:
-    """Op-tree query string → DuckDB SQL returning the flattened doc set.
+    """Op-tree query string → DuckDB SQL for the flattened doc set.
 
-    ``res`` is the zxy resolution the Spark side runs at — FM_CONVERSION and
-    $cell leaves are only oracle-expressible on the zxy grid (pure floor
-    math); pure set-op trees are grid-independent.
+    ``res`` must equal the zxy resolution the Spark plan runs at whenever the
+    tree contains cell-sensitive nodes (fm-conversion, $cell); pure set-op
+    trees flatten to the same doc set at any res (the compositional
+    invariant, proven per-op in tests/test_optree_parser.py docstrings).
     """
     ast = parse(query)
-    return f"WITH {_MENTIONS_CTE}\nSELECT doc_id FROM ({_docs_sql(ast, res)})"
+    return (
+        f"WITH {_ctes(res)}\n"
+        f"SELECT DISTINCT doc_id FROM ({_support_sql(ast, res)})"
+    )

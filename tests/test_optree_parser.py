@@ -1,0 +1,42 @@
+"""Op-tree grammar unit tests (SURVEY Q1-Q9 surface)."""
+
+import pytest
+
+from oscar_spatial_index_compare_spark.plans.optree import parse
+
+
+def s(n):
+    return repr(n)
+
+
+def test_leaves():
+    assert s(parse("join")) == "(token 'join' 'exact')"
+    assert s(parse("jo*")) == "(token 'jo' 'prefix')"
+    assert s(parse("*in")) == "(token 'in' 'suffix')"
+    assert s(parse("*oi*")) == "(token 'oi' 'substring')"
+    assert s(parse("$region:3")) == "(region 3)"
+    assert s(parse("$cell:42")) == "(cell 42)"
+    assert s(parse("$poly:metro")) == "(poly 'metro')"
+
+
+def test_precedence_and_adjacency():
+    # bare adjacency == '/'
+    assert s(parse("a b")) == s(parse("a / b"))
+    # intersection binds tighter than +,-,^
+    assert s(parse("a b + c")) == "(union (inter (token 'a' 'exact') (token 'b' 'exact')) (token 'c' 'exact'))"
+    # left assoc chain
+    assert s(parse("a + b - c")) == "(diff (union (token 'a' 'exact') (token 'b' 'exact')) (token 'c' 'exact'))"
+
+
+def test_parens_and_fm():
+    n = parse("!(a + b) / c")
+    assert s(n) == "(inter (fm (union (token 'a' 'exact') (token 'b' 'exact'))) (token 'c' 'exact'))"
+
+
+def test_errors():
+    with pytest.raises(ValueError):
+        parse("(a + b")
+    with pytest.raises(ValueError):
+        parse("a + ")
+    with pytest.raises(ValueError):
+        parse("a & b")
