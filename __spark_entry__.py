@@ -226,6 +226,81 @@ def _documents_cc(spark, sf):
     return documents_cc(spark, sf).select("doc_id", "url", "warc_ts", "text", "lang")
 
 
+# --- dedup / text-analysis / similarity (training-data pipeline ops) -------
+
+_EMBED_DIM = 64
+_EMBED_QUERIES = [
+    (qid, [float(round(__import__("math").cos(0.37 * qid + 0.11 * i), 6))
+           for i in range(_EMBED_DIM)])
+    for qid in (1, 2, 3)
+]
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _dedup_exact(spark, sf):
+    from oscar_spatial_index_compare_spark.operators.dedup import exact_dup_groups
+    return exact_dup_groups(_docs(spark, sf))
+
+
+def _dedup_jaccard(spark, sf):
+    from oscar_spatial_index_compare_spark.operators.dedup import jaccard_pairs
+    return jaccard_pairs(_docs(spark, sf), 500_000)
+
+
+def _dedup_minhash(spark, sf):
+    from oscar_spatial_index_compare_spark.operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(spark, sf), 500_000)
+
+
+def _dedup_simhash(spark, sf):
+    from oscar_spatial_index_compare_spark.operators.dedup import simhash
+    return simhash(_docs(spark, sf))
+
+
+def _text_entries():
+    from oscar_spatial_index_compare_spark.functions import text as T
+
+    return {
+        "text_token_count": (lambda s, d: T.token_count(_docs(s, d)), T.TOKEN_COUNT_ORACLE),
+        "text_lang_id": (lambda s, d: T.lang_id(_docs(s, d)), T.lang_id_oracle()),
+        "text_quality": (lambda s, d: T.quality_score(_docs(s, d)), T.QUALITY_ORACLE),
+        "text_fingerprint": (lambda s, d: T.fingerprint(_docs(s, d)), T.FINGERPRINT_ORACLE),
+    }
+
+
+def _embed_topk(spark, sf):
+    from oscar_spatial_index_compare_spark.operators.similarity import cosine_topk
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return cosine_topk(emb, _EMBED_QUERIES, 10)
+
+
+def _embed_ann(spark, sf):
+    from oscar_spatial_index_compare_spark.operators.similarity import ann_topk
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return ann_topk(emb, _EMBED_QUERIES, 10, spark)
+
+
+def _embed_neardup_lsh(spark, sf):
+    from oscar_spatial_index_compare_spark.operators.similarity import embedding_neardup_pairs
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, spark, 950_000)
+
+
+def _hcqr_docs(q: str, grid: str, res: int):
+    def fn(spark, sf):
+        return _engine(spark, sf).planner(grid, res).hcqr_docs(q)
+    return fn
+
+
+def _hcqr_stats(spark, sf):
+    from oscar_spatial_index_compare_spark.operators.hcqr import hcqr_stats
+    p = _engine(spark, sf).planner("s2", 10)
+    return hcqr_stats(p.hcqr("join / window"), "s2", 10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable] = {
         "documents_cc": _documents_cc,
@@ -247,6 +322,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[name] = _optree(tree, "s2", 10)
     for name, tree in _OPTREES_ZXY.items():
         q[name] = _optree(tree, "zxy", _ZRES)
+    q.update({
+        "dedup_exact": _dedup_exact,
+        "dedup_jaccard": _dedup_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "embed_cosine_topk": _embed_topk,
+        "embed_ann_lsh": _embed_ann,            # rows-only (approximate)
+        "embed_neardup_lsh": _embed_neardup_lsh,  # rows-only (approximate)
+        "hcqr_docs_intersect": _hcqr_docs("join / window", "s2", 10),
+        "hcqr_docs_region_diff": _hcqr_docs("$region:2 - $region:1", "s2", 10),
+        "hcqr_docs_union_zxy": _hcqr_docs("dup + spark", "zxy", _ZRES),
+        "hcqr_stats_join_window": _hcqr_stats,  # rows-only (tree metrics)
+    })
+    for name, (fn, _sql) in _text_entries().items():
+        q[name] = fn
     return q
 
 
@@ -284,4 +374,26 @@ SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
         o[name] = optree_oracle_sql(tree, res=_ZRES)
     for name, tree in _OPTREES_ZXY.items():
         o[name] = optree_oracle_sql(tree, res=_ZRES)
+    from oscar_spatial_index_compare_spark.operators.dedup import (
+        EXACT_DUP_ORACLE,
+        jaccard_pairs_oracle,
+        minhash_lsh_pairs_oracle,
+        simhash_oracle,
+    )
+    from oscar_spatial_index_compare_spark.operators.similarity import cosine_topk_oracle
+
+    o.update({
+        "dedup_exact": EXACT_DUP_ORACLE,
+        "dedup_jaccard": jaccard_pairs_oracle(500_000),
+        "dedup_minhash_lsh": minhash_lsh_pairs_oracle(500_000),
+        "dedup_simhash": simhash_oracle(),
+        "embed_cosine_topk": cosine_topk_oracle(_EMBED_QUERIES, 10),
+        # embed_ann_lsh / embed_neardup_lsh / hcqr_stats: rows-only (approx /
+        # non-SQL-expressible tree metrics) — pytest covers recall + metrics
+        "hcqr_docs_intersect": optree_oracle_sql("join / window", res=_ZRES),
+        "hcqr_docs_region_diff": optree_oracle_sql("$region:2 - $region:1", res=_ZRES),
+        "hcqr_docs_union_zxy": optree_oracle_sql("dup + spark", res=_ZRES),
+    })
+    for name, (_fn, sql) in _text_entries().items():
+        o[name] = sql
     return o

@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY §6, M8).
+
+Mirrors the reference's benchmark loop (``apps/mainq.cpp:175-376``): warm-up
+pass, per-query wall times, aggregate throughput — over the headline
+pipelines: spatial-index build, region queries, op-tree set ops, kNN, tiles,
+dedup, HCQR.
+
+Prints ONE JSON line:
+  {"metric": "e2e_bench_sec", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+Per-query raw CSV (reference ``id;cqr_us;...`` analog) → BENCH/raw_stats.csv.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+REGION_NAMES = ["metro", "country", "north_band", "south_pent", "concave_c",
+                "polar", "east_am", "empty_box", "equator_band", "tri_west"]
+OPTREES = [
+    "join / window", "dup + spark", "join - dup", "dup ^ spark",
+    "(join + dup) / window - spark", "jo*", "$region:1 / dup",
+    "($region:2 - $region:1) / join",
+]
+KNN_QUERIES = [(1, 48.86, 2.36, 5), (2, -33.0, 151.0, 10), (3, 89.0, 10.0, 3),
+               (4, 0.0, 0.0, 7), (5, 13.37, 179.0, 5)]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from oscar_spatial_index_compare_spark.engine import Engine
+    from oscar_spatial_index_compare_spark.operators.dedup import (
+        exact_dup_groups, simhash,
+    )
+    from oscar_spatial_index_compare_spark.operators.hcqr import hcqr_stats
+    from oscar_spatial_index_compare_spark.operators.knn import knn_docs
+    from oscar_spatial_index_compare_spark.operators.region_query import region_query_docs
+    from oscar_spatial_index_compare_spark.operators.tiles import tiles
+    from oscar_spatial_index_compare_spark.session import get_spark
+    from oscar_spatial_index_compare_spark.sources.regions import region_by_name
+
+    timings: dict[str, float] = {}
+    raw_rows: list[tuple] = []
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        raw_rows.append((name, round(dt * 1e6), out))
+        return out
+
+    t_total0 = time.perf_counter()
+    spark = get_spark(app_name="osi-bench", cores=CPUS, shuffle_partitions=CPUS)
+    docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs_df.count()
+
+    eng = Engine(spark, SF_DIR)
+
+    # --- 1. spatial-index build (B1-B3 + B4/B5): mentions → cells → postings
+    def build():
+        ctx = eng.context("s2", 10)
+        n = ctx.mcells.count()
+        ctx.ctotals.count()
+        ctx.tpostings.count()
+        return n
+    n_mentions = timed("index_build_s2", build)
+    build_docs_per_sec = n_docs / timings["index_build_s2"]
+
+    def build_h3():
+        ctx = eng.context("h3", 6)
+        return ctx.mcells.count()
+    timed("index_build_h3", build_h3)
+
+    # --- 2. region queries (X1), warm index
+    ctx = eng.context("s2", 10)
+    total_region_docs = 0
+    t0 = time.perf_counter()
+    for rname in REGION_NAMES:
+        n = timed(
+            f"region_{rname}",
+            lambda rn=rname: region_query_docs(
+                spark, ctx.mcells, region_by_name(rn), "s2", 10
+            ).count(),
+        )
+        total_region_docs += n
+    region_total = time.perf_counter() - t0
+    region_qps = len(REGION_NAMES) / region_total
+
+    # --- 3. op-tree set-op queries (Q1-Q10)
+    p = eng.planner("s2", 10)
+    t0 = time.perf_counter()
+    for q in OPTREES:
+        timed(f"optree_{OPTREES.index(q)}", lambda qq=q: p.docs(qq).count())
+    optree_total = time.perf_counter() - t0
+
+    # --- 4. kNN (X2)
+    hctx = eng.context("h3", 6)
+    timed("knn_batch5", lambda: knn_docs(spark, hctx.mcells, KNN_QUERIES, "h3", 6).count())
+
+    # --- 5. tiles (X3)
+    timed("tiles_z3_8_12", lambda: tiles(eng.mentions, [3, 8, 12]).count())
+
+    # --- 6. dedup + text
+    timed("dedup_exact", lambda: exact_dup_groups(docs_df).count())
+    timed("dedup_simhash", lambda: simhash(docs_df).count())
+
+    # --- 7. HCQR build + stats (B8/Q12)
+    timed("hcqr_intersect", lambda: p.hcqr_docs("join / window").count())
+
+    total = time.perf_counter() - t_total0
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/raw_stats.csv", "w") as f:
+        f.write("id;wall_us;result\n")
+        for name, us, res in raw_rows:
+            f.write(f"{name};{us};{res}\n")
+
+    print(json.dumps({
+        "metric": "e2e_bench_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "n_docs": n_docs,
+        "n_mentions": n_mentions,
+        "build_docs_per_sec": round(build_docs_per_sec, 1),
+        "region_queries_per_sec": round(region_qps, 3),
+        "region_docs_matched": total_region_docs,
+        "optree_sec_total": round(optree_total, 3),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,31 @@ def parent_col(grid_name: str, id_col: Column, res: int, from_res: int | None = 
     return parent_udf(grid_name, res)(id_col)
 
 
+def parent1_col(grid_name: str, id_col: Column) -> Column:
+    """One-level-up parent as a column expression, valid for MIXED levels in
+    one column — the workhorse of ancestor-chain explodes (HCQR rollup).
+    s2: pure lsb arithmetic; zxy: shift fields; hex: vectorized UDF."""
+    if grid_name == "s2":
+        lsb = id_col.bitwiseAND(-id_col)
+        nl = F.shiftleft(lsb, 2)
+        return id_col.bitwiseAND(-nl).bitwiseOR(nl)
+    if grid_name == "zxy":
+        z = F.shiftright(id_col, 56)
+        x = F.shiftright(id_col, 28).bitwiseAND(F.lit((1 << 28) - 1))
+        y = id_col.bitwiseAND(F.lit((1 << 28) - 1))
+        return (
+            (z - 1) * F.lit(1 << 56).cast("long")
+            + F.shiftright(x, 1) * F.lit(1 << 28).cast("long")
+            + F.shiftright(y, 1)
+        )
+
+    @F.pandas_udf(LongType())
+    def _p1(ids: pd.Series) -> pd.Series:
+        g = get_grid(grid_name)
+        return pd.Series(g.parent(ids.to_numpy(np.int64)))
+    return _p1(id_col)
+
+
 def level_col(grid_name: str, id_col: Column) -> Column:
     g = get_grid(grid_name)
     native = g.col_level(id_col)

@@ -45,6 +45,17 @@ class QueryContext:
     ctotals: DataFrame         # (cell_id, doc_ids, n_docs) at (grid,res)
     tpostings: DataFrame       # token_postings at (grid,res), qt='exact'
     tokens: list[str] = field(default_factory=list)  # token dictionary
+    _pop_anc: DataFrame | None = None
+
+    def pop_anc(self) -> DataFrame:
+        """Cached populated-leaf counts per ancestor (HCQR compactify)."""
+        if self._pop_anc is None:
+            from ..operators.hcqr import pop_ancestor_counts
+
+            self._pop_anc = pop_ancestor_counts(
+                self.ctotals, self.grid, self.res
+            ).cache()
+        return self._pop_anc
 
 
 class Planner:
@@ -62,6 +73,57 @@ class Planner:
         if c is None:
             return self.ctx.spark.range(0).select(F.col("id").alias("doc_id"))
         return cqr_flatten(c, self.ctx.ctotals)
+
+    # -- HCQR evaluation (SURVEY E3) -----------------------------------------
+    def hcqr(self, query: str) -> DataFrame | None:
+        """Query → compactified HCQR DataFrame (pixel_id, level, is_fm,
+        doc_ids).  Mirrors HcqrOpTree::calc (src/HcqrOpTree.cpp:13-153);
+        '^' raises like the reference (src/HcqrOpTree.cpp:136-137)."""
+        return self._eval_hcqr(parse(query))
+
+    def hcqr_docs(self, query: str) -> DataFrame:
+        from ..operators.hcqr import hcqr_items
+
+        h = self.hcqr(query)
+        if h is None:
+            return self.ctx.spark.range(0).select(F.col("id").alias("doc_id"))
+        return hcqr_items(h, self.ctx.ctotals, self.ctx.grid, self.ctx.res, self.ctx.spark)
+
+    def _eval_hcqr(self, n: Node) -> DataFrame | None:
+        from ..operators.hcqr import hcqr_all_to_full, hcqr_from_cqr, hcqr_op
+
+        ctx = self.ctx
+        if n.op in ("token", "region", "poly", "cell"):
+            c = self._eval(n)
+            if c is None:
+                return None
+            return hcqr_from_cqr(
+                c, ctx.grid, ctx.res, ctx.ctotals, pop_anc=ctx.pop_anc()
+            )
+        if n.op == "fm":
+            h = self._eval_hcqr(n.args[0])
+            return None if h is None else hcqr_all_to_full(h)
+        if n.op == "sym":
+            raise NotImplementedError(
+                "HCQR does not support '^' (reference parity: HcqrOpTree.cpp:136)"
+            )
+        l = self._eval_hcqr(n.args[0])
+        r = self._eval_hcqr(n.args[1])
+        if n.op == "union":
+            if l is None:
+                return r
+            if r is None:
+                return l
+        elif n.op == "inter":
+            if l is None or r is None:
+                return None
+        elif n.op == "diff":
+            if l is None:
+                return None
+            if r is None:
+                return l
+        return hcqr_op(n.op, l, r, ctx.grid, ctx.res, ctx.spark, ctx.ctotals,
+                       pop_anc=ctx.pop_anc())
 
     # -- node lowering --------------------------------------------------------
     def _eval(self, n: Node) -> DataFrame | None:
