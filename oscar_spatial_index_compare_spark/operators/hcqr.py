@@ -97,7 +97,7 @@ def explode_ancestors(df: DataFrame, grid: str, res: int, min_level: int,
         depth = res - min_level
 
         @F.pandas_udf(ArrayType(LongType()))
-        def _anc_arr(ids: pd.Series) -> pd.Series:
+        def _anc_arr(ids):  # no hints: pd not module-level (future annotations)
             g = get_grid(grid)
             cur = ids.to_numpy(np.int64)
             cols = [cur]

@@ -67,7 +67,7 @@ def cell_tiles(dcells: DataFrame, grid_name: str, z: int) -> DataFrame:
     from ..grids.base import get_grid
 
     @F.pandas_udf(LongType())
-    def _center_tile(ids: "pd.Series") -> "pd.Series":
+    def _center_tile(ids):  # no hints: pd not module-level
         import numpy as np
         g = get_grid(grid_name)
         lat, lon = g.center(ids.to_numpy(np.int64))
