@@ -23,20 +23,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# deterministic affine minhash parameters (odd multipliers, 61-bit prime)
-_P = (1 << 61) - 1
+# deterministic affine minhash parameters (odd multipliers, Mersenne prime).
+# Hash inputs are 28-bit (md5 first 7 hex chars) so a*x+b stays far below
+# 2^63 — Spark 4 runs ANSI mode and DuckDB BIGINT is strict, so overflow
+# would error, not wrap.
+_P = (1 << 31) - 1
 _MINHASH_PARAMS = [(2 * i + 1, 1_000_003 * (i + 1) % _P) for i in range(16)]
 N_BANDS, ROWS_PER_BAND = 4, 4
 SHINGLE_K = 3
 
 
-def _h_col(s) -> F.Column:
-    """60-bit md5-derived integer hash of a string column (JVM-side)."""
-    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+def _h_col(s, hexchars: int = 15) -> F.Column:
+    """md5-derived integer hash of a string column (JVM-side); width in hex
+    chars (15 → 60 bits for fingerprints, 7 → 28 bits for minhash affine)."""
+    return F.conv(F.substring(F.md5(s), 1, hexchars), 16, 10).cast("long")
 
 
-def _h_sql(s: str) -> str:
-    return f"CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+def _h_sql(s: str, hexchars: int = 15) -> str:
+    return f"CAST(concat('0x', substr(md5({s}), 1, {hexchars})) AS BIGINT)"
 
 
 # --------------------------------------------------------------------------
@@ -80,12 +84,14 @@ def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
 
 
 def _shingles_sql(k: int = SHINGLE_K) -> str:
-    """DuckDB twin of shingles() (uses list slicing + list_zip)."""
+    """DuckDB twin of shingles() — list-valued generate_series (the lateral
+    table-function form rejects column parameters in DuckDB 1.0)."""
     toks = "string_split(text, ' ')"
     return f"""
 SELECT DISTINCT doc_id,
-       array_to_string(list_slice({toks}, i, i + {k - 1}), ' ') AS shingle
-FROM documents, generate_series(1, len({toks}) - {k - 1}) AS t(i)
+       unnest(list_transform(generate_series(1, len({toks}) - {k - 1}),
+              i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' '))) AS shingle
+FROM documents
 """
 
 
@@ -151,7 +157,7 @@ def jaccard_pairs_oracle(threshold_ppm: int = 500_000) -> str:
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh15): min over shingles of affine-permuted md5 hash."""
-    sh = shingles(docs).withColumn("x", _h_col(F.col("shingle")))
+    sh = shingles(docs).withColumn("x", _h_col(F.col("shingle"), 7))
     aggs = [
         F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(_MINHASH_PARAMS)
@@ -161,7 +167,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 def _minhash_select() -> str:
     mins = ", ".join(
-        f"MIN(({_h_sql('shingle')} * {a} + {b}) % {_P}) AS mh{i}"
+        f"MIN(({_h_sql('shingle', 7)} * {a} + {b}) % {_P}) AS mh{i}"
         for i, (a, b) in enumerate(_MINHASH_PARAMS)
     )
     return f"SELECT doc_id, {mins} FROM sh GROUP BY doc_id"
