@@ -79,11 +79,12 @@ _TOKENS_FOR_POSTINGS = ["join", "dup", "spark", "window", "the"]
 
 
 def _mentions(spark, sf):
-    return _engine(spark, sf).mentions
+    from oscar_spatial_index_compare_spark.operators.mentions import extract_mentions
+    return extract_mentions(spark, _docs(spark, sf), with_idx=True)
 
 
 def _doc_cells_zxy(spark, sf):
-    m = _mentions(spark, sf)
+    m = _engine(spark, sf).mentions
     cell = ZXY.col_cell(F.col("lat"), F.col("lon"), _ZRES)
     return m.select("doc_id", cell.alias("cell_id")).dropDuplicates()
 
@@ -97,7 +98,7 @@ def _cell_counts_zxy(spark, sf):
 
 
 def _index_stats_zxy(spark, sf):
-    m = _mentions(spark, sf)
+    m = _engine(spark, sf).mentions
     parts = []
     for res in (6, 9, 12):
         cell = ZXY.col_cell(F.col("lat"), F.col("lon"), res)
@@ -218,7 +219,7 @@ def _knn(spark, sf):
 
 
 def _tiles(spark, sf):
-    return tiles(_mentions(spark, sf), [3, 8, 12])
+    return tiles(_engine(spark, sf).mentions, [3, 8, 12])
 
 
 def _documents_cc(spark, sf):

@@ -21,12 +21,16 @@ from pyspark.sql.window import Window
 from ..sources.gazetteer import gazetteer_df, gazetteer_values_sql
 
 
-def extract_mentions(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """documents(doc_id, text, ...) → mentions(doc_id, mention_idx, name, lat, lon).
+def extract_mentions(spark: SparkSession, docs: DataFrame,
+                     with_idx: bool = False) -> DataFrame:
+    """documents(doc_id, text, ...) → mentions(doc_id[, mention_idx], name,
+    lat, lon).
 
     A mention is a distinct gazetteer name occurring in the doc's token
-    stream (unigrams and space-joined bigrams).  mention_idx numbers the
-    doc's mentions in name order (deterministic; SQL-reproducible).
+    stream (unigrams and space-joined bigrams).  ``with_idx`` adds
+    mention_idx (the doc's mentions numbered in name order — deterministic,
+    SQL-reproducible) at the cost of a per-doc window shuffle; the index
+    pipelines never need it, so the hot path skips it.
     """
     toks = F.split(F.col("text"), " ")
     # adjacent-pair bigrams: zip tokens with their shifted-by-one selves;
@@ -40,6 +44,8 @@ def extract_mentions(spark: SparkSession, docs: DataFrame) -> DataFrame:
     exploded = docs.select("doc_id", F.explode(cand).alias("name"))
     gaz = F.broadcast(gazetteer_df(spark))
     m = exploded.join(gaz, "name").select("doc_id", "name", "lat", "lon")
+    if not with_idx:
+        return m
     w = Window.partitionBy("doc_id").orderBy("name")
     return m.select(
         "doc_id",
