@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (M8, north_rule ≥0.8 between N and 4N).
+
+No real cluster exists in this sandbox, so the same job runs at two
+parallelism levels — ``local[8]`` and ``local[32]`` (N vs 4N cores), fresh
+JVM each — over the same deterministic synthetic corpus, and reports
+throughput at both plus efficiency = T_8 / (4 · T_32).
+
+Workload (the headline pipeline, compute-bound by corpus size):
+  synth corpus → geo-entity extraction → s2 cell assignment →
+  cell_totals postings → token postings → 4 region queries → 2 op-trees.
+
+Run:  python scaling_bench.py [n_docs]      (writes BENCH/BASELINE.md)
+Worker: python scaling_bench.py --worker <cores> <n_docs>   (prints JSON)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def worker(cores: int, n_docs: int) -> None:
+    os.environ["SPARK_GRAFT_MASTER"] = f"local[{cores}]"
+    from pyspark.sql import functions as F
+
+    from oscar_spatial_index_compare_spark.operators.index_build import (
+        cell_totals, doc_cells, mention_cells,
+    )
+    from oscar_spatial_index_compare_spark.operators.mentions import extract_mentions
+    from oscar_spatial_index_compare_spark.operators.region_query import region_query_docs
+    from oscar_spatial_index_compare_spark.operators.token_index import (
+        token_docs, token_postings,
+    )
+    from oscar_spatial_index_compare_spark.session import get_spark
+    from oscar_spatial_index_compare_spark.sources.regions import region_by_name
+    from oscar_spatial_index_compare_spark.sources.synth import synth_documents
+
+    spark = get_spark(app_name=f"scaling-{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = synth_documents(spark, n_docs, partitions=cores * 4).cache()
+    n = docs.count()  # warm the cache outside the timed section
+
+    t0 = time.perf_counter()
+    m = extract_mentions(spark, docs)
+    mc = mention_cells(m, "s2", 10).cache()
+    n_mentions = mc.count()
+    dc = doc_cells(mc)
+    ct = cell_totals(dc).cache()
+    ct.count()
+    tp = token_postings(token_docs(docs), dc, ct)
+    n_postings = tp.count()
+    t_build = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    matched = 0
+    for rname in ["metro", "country", "concave_c", "south_pent"]:
+        matched += region_query_docs(
+            spark, mc, region_by_name(rname), "s2", 10
+        ).count()
+    t_query = time.perf_counter() - t0
+
+    print(json.dumps({
+        "cores": cores, "n_docs": n, "n_mentions": n_mentions,
+        "n_postings": n_postings, "build_sec": round(t_build, 2),
+        "query_sec": round(t_query, 2), "region_docs": matched,
+        "build_docs_per_sec": round(n / t_build, 1),
+    }))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cores), str(n_docs)],
+            capture_output=True, text=True, cwd=REPO, timeout=3600,
+        )
+        line = [x for x in out.stdout.splitlines() if x.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(line)
+    r8, r32 = results[8], results[32]
+    eff_build = r8["build_sec"] / (4.0 * r32["build_sec"])
+    eff_query = r8["query_sec"] / (4.0 * r32["query_sec"])
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# BENCH/BASELINE — measured throughput + scaling efficiency
+
+Same code, same deterministic synthetic corpus ({n_docs:,} docs, seed-free),
+two parallelism levels (sandbox proxy for N vs 4N executors, per driver
+instruction).  Fresh JVM per level; corpus cached before timing.
+
+| metric | local[8] (N) | local[32] (4N) |
+|---|---|---|
+| index build wall (s) | {r8['build_sec']} | {r32['build_sec']} |
+| build throughput (docs/s) | {r8['build_docs_per_sec']} | {r32['build_docs_per_sec']} |
+| 4 region queries wall (s) | {r8['query_sec']} | {r32['query_sec']} |
+| mentions extracted | {r8['n_mentions']:,} | {r32['n_mentions']:,} |
+| token postings rows | {r8['n_postings']:,} | {r32['n_postings']:,} |
+| region docs matched | {r8['region_docs']:,} | {r32['region_docs']:,} |
+
+**Scaling efficiency (T_N / (4·T_4N))**
+* index build: **{eff_build:.2f}**
+* region queries: **{eff_query:.2f}**
+
+north_rule target: ≥ 0.8 on the build path.  Determinism cross-check:
+mention/postings row counts identical at both levels.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({"eff_build": round(eff_build, 3), "eff_query": round(eff_query, 3)}))
+
+
+if __name__ == "__main__":
+    main()
