@@ -23,7 +23,7 @@ from oscar_spatial_index_compare_spark.operators.region_query import (
 )
 from oscar_spatial_index_compare_spark.operators.tiles import tiles, tiles_oracle_sql
 from oscar_spatial_index_compare_spark.plans.oracle import optree_oracle_sql
-from oscar_spatial_index_compare_spark.sources.gazetteer import gazetteer_values_sql
+from oscar_spatial_index_compare_spark.sources.gazetteer import mentions_subquery_sql
 from oscar_spatial_index_compare_spark.sources.regions import REGIONS, region_by_name
 
 _ENGINES: dict[tuple[str, str], Engine] = {}
@@ -120,16 +120,15 @@ def _index_stats_zxy(spark, sf):
 def _index_stats_zxy_sql() -> str:
     sels = []
     for res in (6, 9, 12):
-        cell = ZXY.cell_sql("g.lat", "g.lon", res)
+        cell = ZXY.cell_sql("m.lat", "m.lon", res)
         sels.append(f"""
 SELECT {res} AS res, CAST(COUNT(*) AS BIGINT) AS n_cells,
        CAST(MIN(n) AS BIGINT) AS min_docs, CAST(MAX(n) AS BIGINT) AS max_docs,
        CAST(SUM(n) AS BIGINT) AS sum_docs
 FROM (
   SELECT cell_id, COUNT(*) AS n FROM (
-    SELECT DISTINCT d.doc_id, {cell} AS cell_id
-    FROM documents d JOIN {gazetteer_values_sql()}
-      ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')
+    SELECT DISTINCT m.doc_id, {cell} AS cell_id
+    FROM {mentions_subquery_sql()} m
   ) GROUP BY cell_id
 )""")
     return "\nUNION ALL\n".join(sels)
@@ -187,13 +186,12 @@ def _token_postings_stats(spark, sf):
 
 
 def _token_postings_stats_sql() -> str:
-    cell = ZXY.cell_sql("g.lat", "g.lon", _ZRES)
+    cell = ZXY.cell_sql("m.lat", "m.lon", _ZRES)
     toks = ", ".join(f"'{t}'" for t in _TOKENS_FOR_POSTINGS)
     return f"""
 WITH cells AS (
-  SELECT DISTINCT d.doc_id, {cell} AS cell_id
-  FROM documents d JOIN {gazetteer_values_sql()}
-    ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')
+  SELECT DISTINCT m.doc_id, {cell} AS cell_id
+  FROM {mentions_subquery_sql()} m
 ), tot AS (
   SELECT cell_id, COUNT(DISTINCT doc_id) AS n_total FROM cells GROUP BY 1
 ), td AS (
@@ -351,14 +349,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mentions": MENTIONS_ORACLE_SQL,
         "doc_cells_zxy9": f"""
-SELECT DISTINCT d.doc_id, {ZXY.cell_sql('g.lat', 'g.lon', _ZRES)} AS cell_id
-FROM documents d JOIN {gazetteer_values_sql()}
-  ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')""",
+SELECT DISTINCT m.doc_id, {ZXY.cell_sql('m.lat', 'm.lon', _ZRES)} AS cell_id
+FROM {mentions_subquery_sql()} m""",
         "cell_counts_zxy9": f"""
 SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
-  SELECT DISTINCT d.doc_id, {ZXY.cell_sql('g.lat', 'g.lon', _ZRES)} AS cell_id
-  FROM documents d JOIN {gazetteer_values_sql()}
-    ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')
+  SELECT DISTINCT m.doc_id, {ZXY.cell_sql('m.lat', 'm.lon', _ZRES)} AS cell_id
+  FROM {mentions_subquery_sql()} m
 ) GROUP BY cell_id""",
         "index_stats_zxy": _index_stats_zxy_sql(),
         "tiles_z3_8_12": tiles_oracle_sql([3, 8, 12]),

@@ -181,21 +181,19 @@ def knn_docs(
 
 def knn_oracle_sql(queries: list[tuple[int, float, float, int]]) -> str:
     """Brute-force DuckDB twin: full haversine sort per query."""
-    from ..sources.gazetteer import gazetteer_values_sql
+    from ..sources.gazetteer import mentions_subquery_sql
 
     parts = []
     for qid, qlat, qlon, k in queries:
-        d = dist_m_sql(haversine_sql(repr(qlat), repr(qlon), "g.lat", "g.lon"))
+        d = dist_m_sql(haversine_sql(repr(qlat), repr(qlon), "m.lat", "m.lon"))
         parts.append(f"""
 SELECT * FROM (
   SELECT {qid} AS query_id, doc_id, dist_m,
          CAST(ROW_NUMBER() OVER (ORDER BY dist_m ASC, doc_id ASC) AS INT) AS rank
   FROM (
-    SELECT d.doc_id, MIN({d}) AS dist_m
-    FROM documents d
-    JOIN {gazetteer_values_sql()}
-      ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')
-    GROUP BY d.doc_id
+    SELECT m.doc_id, MIN({d}) AS dist_m
+    FROM {mentions_subquery_sql()} m
+    GROUP BY m.doc_id
   )
 ) WHERE rank <= {k}""")
     return "\nUNION ALL\n".join(parts)

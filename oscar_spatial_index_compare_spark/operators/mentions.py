@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.gazetteer import gazetteer_df, gazetteer_values_sql
+from ..sources.gazetteer import (
+    gazetteer_df,
+    jitter_lat_col,
+    jitter_lon_col,
+    mentions_subquery_sql,
+)
 
 
 def extract_mentions(spark: SparkSession, docs: DataFrame,
@@ -43,7 +48,11 @@ def extract_mentions(spark: SparkSession, docs: DataFrame,
     cand = F.array_distinct(F.concat(toks, bigrams))
     exploded = docs.select("doc_id", F.explode(cand).alias("name"))
     gaz = F.broadcast(gazetteer_df(spark))
-    m = exploded.join(gaz, "name").select("doc_id", "name", "lat", "lon")
+    m = exploded.join(gaz, "name").select(
+        "doc_id", "name",
+        jitter_lat_col(F.col("doc_id"), F.col("name"), F.col("lat")).alias("lat"),
+        jitter_lon_col(F.col("doc_id"), F.col("name"), F.col("lon")).alias("lon"),
+    )
     if not with_idx:
         return m
     w = Window.partitionBy("doc_id").orderBy("name")
@@ -55,10 +64,8 @@ def extract_mentions(spark: SparkSession, docs: DataFrame,
 
 
 MENTIONS_ORACLE_SQL = f"""
-SELECT d.doc_id,
-       CAST(ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY g.name) AS INT) AS mention_idx,
-       g.name, g.lat, g.lon
-FROM documents d
-JOIN {gazetteer_values_sql()}
-  ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY name) AS INT) AS mention_idx,
+       name, lat, lon
+FROM {mentions_subquery_sql()} m
 """

@@ -96,12 +96,10 @@ def region_query_docs(
 def region_query_oracle_sql(poly: np.ndarray) -> str:
     """Brute-force oracle: doc has a gazetteer mention strictly inside poly."""
     from ..functions.geo import pip_sql
-    from ..sources.gazetteer import gazetteer_values_sql
+    from ..sources.gazetteer import mentions_subquery_sql
 
     return f"""
-SELECT DISTINCT d.doc_id
-FROM documents d
-JOIN {gazetteer_values_sql()}
-  ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')
-WHERE {pip_sql('g.lat', 'g.lon', poly)}
+SELECT DISTINCT m.doc_id
+FROM {mentions_subquery_sql()} m
+WHERE {pip_sql('m.lat', 'm.lon', poly)}
 """

@@ -38,21 +38,19 @@ def tiles(mcells: DataFrame, zooms: list[int]) -> DataFrame:
 
 
 def tiles_oracle_sql(zooms: list[int]) -> str:
-    """DuckDB twin: same mercator floor-math on gazetteer-joined mentions."""
-    from ..sources.gazetteer import gazetteer_values_sql
+    """DuckDB twin: same mercator floor-math on the jittered mentions."""
+    from ..sources.gazetteer import mentions_subquery_sql
 
     selects = []
     for z in zooms:
-        cell = ZXY.cell_sql("g.lat", "g.lon", z)
+        cell = ZXY.cell_sql("m.lat", "m.lon", z)
         selects.append(f"""
 SELECT {z} AS z,
        (({cell}) // {1 << 28}) % {1 << 28} AS x,
        ({cell}) % {1 << 28} AS y,
-       COUNT(DISTINCT d.doc_id) AS n_docs,
+       COUNT(DISTINCT m.doc_id) AS n_docs,
        COUNT(*) AS n_mentions
-FROM documents d
-JOIN {gazetteer_values_sql()}
-  ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')
+FROM {mentions_subquery_sql()} m
 GROUP BY 1, 2, 3""")
     return "\nUNION ALL\n".join(selects)
 

@@ -29,7 +29,7 @@ matching docs touch).
 from __future__ import annotations
 
 from ..grids.zxy import ZXY
-from ..sources.gazetteer import gazetteer_values_sql
+from ..sources.gazetteer import mentions_subquery_sql
 from ..sources.regions import region_by_id, region_by_name
 from .optree import Node, parse
 
@@ -37,10 +37,7 @@ from .optree import Node, parse
 def _ctes(res: int) -> str:
     cell = ZXY.cell_sql("m.lat", "m.lon", res)
     return f"""mentions AS (
-  SELECT d.doc_id, d.text, g.name, g.lat, g.lon
-  FROM documents d
-  JOIN {gazetteer_values_sql()}
-    ON contains(' ' || d.text || ' ', ' ' || g.name || ' ')
+  SELECT * FROM {mentions_subquery_sql()}
 ),
 mcells AS (
   SELECT DISTINCT m.doc_id, {cell} AS cell_id FROM mentions m

@@ -43,7 +43,8 @@ def _spiral(k: int, n: int) -> tuple[float, float]:
     lat = math.degrees(math.asin(max(-1.0, min(1.0, 1.0 - 2.0 * (k + 0.5) / n))))
     lon = (k * 137.50776405003785) % 360.0 - 180.0
     # keep a safety margin off the exact antimeridian/poles
-    lon = max(-179.9, min(179.9, lon))
+    # margins keep jittered mentions (±0.2°) inside valid lat/lon
+    lon = max(-179.6, min(179.6, lon))
     lat = max(-89.0, min(89.0, lat))
     return round(lat, 6), round(lon, 6)
 
@@ -55,8 +56,9 @@ def gazetteer() -> list[tuple[str, float, float, int]]:
     # 1) hot words: clustered in one metro area (hot cell at coarse res)
     for i, w in enumerate(HOT_WORDS):
         entries.append((w, round(_METRO[0] + 0.03 * i, 6), round(_METRO[1] + 0.04 * i, 6), 100))
-    # 2) special edge-case words
-    specials = {"dup": (89.5, 12.25), "the": (13.37, 179.95), "a": (-87.9, -120.5)}
+    # 2) special edge-case words (placed so the ±0.2° mention jitter cannot
+    #    cross the antimeridian or the poles)
+    specials = {"dup": (89.5, 12.25), "the": (13.37, 179.7), "a": (-87.9, -120.5)}
     used = set(HOT_WORDS) | set(specials)
     for w, (la, lo) in sorted(specials.items()):
         entries.append((w, la, lo, 50))
@@ -100,3 +102,53 @@ def gazetteer_values_sql() -> str:
         f"('{n}', {lat!r}, {lon!r}, {pop})" for n, lat, lon, pop in gazetteer()
     )
     return f"(VALUES\n{rows}\n) AS g(name, lat, lon, popularity)"
+
+
+# ---------------------------------------------------------------------------
+# mention coordinates: gazetteer position + deterministic per-(doc, name)
+# jitter (±0.2°).  Real geo-extraction yields near-duplicate but distinct
+# coordinates per mention; the jitter reproduces that so postings spread over
+# many cells instead of 200 degenerate points (hot-cell arrays stay bounded).
+# Pure integer arithmetic on (doc_id, name) → identical in Spark and DuckDB.
+# doc_id must stay < ~9e12 so doc_id*1000003 cannot overflow a signed 64-bit
+# value under ANSI semantics.
+# ---------------------------------------------------------------------------
+
+_JMOD = 4001  # → delta ∈ [-0.2, +0.2] in 1e-4 steps
+
+
+def jitter_lat_sql(doc_id: str, name: str, lat: str) -> str:
+    h = f"(({doc_id}) * 1000003 + length({name}) * 7919 + ascii({name}) * 131) % {_JMOD}"
+    return f"({lat} + (({h}) - 2000) / 10000.0)"
+
+
+def jitter_lon_sql(doc_id: str, name: str, lon: str) -> str:
+    h = f"(({doc_id}) * 999983 + length({name}) * 104729 + ascii({name}) * 37) % {_JMOD}"
+    return f"({lon} + (({h}) - 2000) / 10000.0)"
+
+
+def jitter_lat_col(doc_id, name, lat):
+    from pyspark.sql import functions as F
+
+    h = (doc_id * F.lit(1000003) + F.length(name) * F.lit(7919)
+         + F.ascii(name) * F.lit(131)) % F.lit(_JMOD)
+    return lat + (h - F.lit(2000)) / F.lit(10000.0)
+
+
+def jitter_lon_col(doc_id, name, lon):
+    from pyspark.sql import functions as F
+
+    h = (doc_id * F.lit(999983) + F.length(name) * F.lit(104729)
+         + F.ascii(name) * F.lit(37)) % F.lit(_JMOD)
+    return lon + (h - F.lit(2000)) / F.lit(10000.0)
+
+
+def mentions_subquery_sql() -> str:
+    """Canonical mentions relation as a SQL subquery: (doc_id, name, lat,
+    lon) with jittered coordinates — THE single source every oracle uses."""
+    jlat = jitter_lat_sql("d.doc_id", "g.name", "g.lat")
+    jlon = jitter_lon_sql("d.doc_id", "g.name", "g.lon")
+    return f"""(SELECT d.doc_id, g.name, {jlat} AS lat, {jlon} AS lon
+FROM documents d
+JOIN {gazetteer_values_sql()}
+  ON contains(' ' || d.text || ' ', ' ' || g.name || ' '))"""

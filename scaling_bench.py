@@ -28,6 +28,9 @@ sys.path.insert(0, REPO)
 
 def worker(cores: int, n_docs: int) -> None:
     os.environ["SPARK_GRAFT_MASTER"] = f"local[{cores}]"
+    # memory scales with the simulated executor count: 4N executors own 4x
+    # the aggregate heap (1.5 GiB/core, the usual executor shape)
+    os.environ["SPARK_DRIVER_MEM"] = f"{max(8, int(cores * 1.5))}g"
     from pyspark.sql import functions as F
 
     from oscar_spatial_index_compare_spark.operators.index_build import (
