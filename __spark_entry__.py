@@ -210,6 +210,65 @@ GROUP BY m.token
 """
 
 
+def _cell_postings_region(spark, sf):
+    from oscar_spatial_index_compare_spark.operators.index_build import (
+        cell_postings, mention_cells,
+    )
+    eng = _engine(spark, sf)
+    cp = cell_postings(mention_cells(eng.mentions, "zxy", _ZRES))
+    return cp.groupBy("region_id").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("n_docs").cast("long").alias("n_pairs"),
+    )
+
+
+def _cell_postings_region_sql() -> str:
+    from oscar_spatial_index_compare_spark.functions.geo import pip_sql
+    from oscar_spatial_index_compare_spark.sources.regions import REGIONS
+
+    cell = ZXY.cell_sql("m.lat", "m.lon", _ZRES)
+    sels = []
+    for rid, _name, _lvl, poly in REGIONS:
+        sels.append(f"""
+SELECT CAST({rid} AS BIGINT) AS region_id,
+       CAST(COUNT(DISTINCT cell_id) AS BIGINT) AS n_cells,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM (
+  SELECT DISTINCT m.doc_id, {cell} AS cell_id
+  FROM {mentions_subquery_sql()} m
+  WHERE {pip_sql('m.lat', 'm.lon', poly)}
+)
+HAVING COUNT(*) > 0""")
+    return "\nUNION ALL\n".join(sels)
+
+
+def _cqr_stats_dup(spark, sf):
+    from oscar_spatial_index_compare_spark.operators.cqr import cqr_stats
+
+    p = _engine(spark, sf).planner("zxy", _ZRES)
+    return cqr_stats(p.cqr("dup"))
+
+
+def _cqr_stats_dup_sql() -> str:
+    cell = ZXY.cell_sql("m.lat", "m.lon", _ZRES)
+    return f"""
+WITH cells AS (
+  SELECT DISTINCT m.doc_id, {cell} AS cell_id FROM {mentions_subquery_sql()} m
+), tot AS (
+  SELECT cell_id, COUNT(*) AS n_total FROM cells GROUP BY 1
+), md AS (
+  SELECT doc_id FROM documents WHERE list_contains(string_split(text, ' '), 'dup')
+), m AS (
+  SELECT c.cell_id, COUNT(*) AS n_matched
+  FROM cells c JOIN md USING (doc_id) GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN n_matched = n_total THEN 1 ELSE 0 END) AS BIGINT) AS n_fm,
+       CAST(SUM(CASE WHEN n_matched = n_total THEN 0 ELSE n_matched END) AS BIGINT) AS pm_items
+FROM m JOIN tot USING (cell_id)
+"""
+
+
 def _knn(spark, sf):
     eng = _engine(spark, sf)
     ctx = eng.context("h3", 6)
@@ -333,6 +392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hcqr_docs_region_diff": _hcqr_docs("$region:2 - $region:1", "s2", 10),
         "hcqr_docs_union_zxy": _hcqr_docs("dup + spark", "zxy", _ZRES),
         "hcqr_stats_join_window": _hcqr_stats,  # rows-only (tree metrics)
+        "cell_postings_region_zxy": _cell_postings_region,
+        "cqr_stats_dup_zxy": _cqr_stats_dup,
     })
     for name, (fn, _sql) in _text_entries().items():
         q[name] = fn
@@ -390,6 +451,8 @@ SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
         "hcqr_docs_intersect": optree_oracle_sql("join / window", res=_ZRES),
         "hcqr_docs_region_diff": optree_oracle_sql("$region:2 - $region:1", res=_ZRES),
         "hcqr_docs_union_zxy": optree_oracle_sql("dup + spark", res=_ZRES),
+        "cell_postings_region_zxy": _cell_postings_region_sql(),
+        "cqr_stats_dup_zxy": _cqr_stats_dup_sql(),
     })
     for name, (_fn, sql) in _text_entries().items():
         o[name] = sql

@@ -39,13 +39,10 @@ KNN_QUERIES = [(1, 48.86, 2.36, 5), (2, -33.0, 151.0, 10), (3, 89.0, 10.0, 3),
 
 
 def main() -> None:
-    from pyspark.sql import functions as F
-
     from oscar_spatial_index_compare_spark.engine import Engine
     from oscar_spatial_index_compare_spark.operators.dedup import (
         exact_dup_groups, simhash,
     )
-    from oscar_spatial_index_compare_spark.operators.hcqr import hcqr_stats
     from oscar_spatial_index_compare_spark.operators.knn import knn_docs
     from oscar_spatial_index_compare_spark.operators.region_query import region_query_docs
     from oscar_spatial_index_compare_spark.operators.tiles import tiles

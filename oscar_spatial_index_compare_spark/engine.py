@@ -9,7 +9,6 @@ on first use (the reference mmaps + preloads, SURVEY S7).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from .operators.index_build import cell_totals, doc_cells, mention_cells
 from .operators.mentions import extract_mentions

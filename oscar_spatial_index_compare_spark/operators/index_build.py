@@ -77,13 +77,15 @@ def cell_counts(dcells: DataFrame) -> DataFrame:
     )
 
 
-def region_docs(mcells: DataFrame, regions_poly, spark) -> DataFrame:
-    """(region_id, doc_id) membership via exact PIP over mention coords.
+def region_mention_cells(mcells: DataFrame) -> DataFrame:
+    """(grid, res, region_id, doc_id, cell_id) — one row per inside-region
+    mention cell.
 
-    Reference analog: items belong to GeoHierarchy cells; exactness comes
-    from the triangulation refinement (``src/OscarSgIndex.cpp:106-111``).
-    Our regions are few (~10) and fixed → inline the PIP test per region and
-    union, keeping everything JVM-side.
+    Reference semantics (``src/OscarSgIndex.cpp:106-111``): a point only
+    contributes a (trixel, cell=region, item) triple when the exact
+    refinement confirms the point lies in the region — so postings use
+    *inside* mentions only, not every cell of a member doc.  Regions are few
+    and fixed → per-region PIP filters unioned, all JVM-side.
     """
     from ..functions.geo import pip_col
     from ..sources.regions import REGIONS
@@ -92,19 +94,25 @@ def region_docs(mcells: DataFrame, regions_poly, spark) -> DataFrame:
     for rid, _name, _lvl, poly in REGIONS:
         parts.append(
             mcells.where(pip_col(F.col("lat"), F.col("lon"), poly))
-            .select(F.lit(rid).alias("region_id"), "doc_id")
+            .select("grid", "res", F.lit(rid).alias("region_id"), "doc_id", "cell_id")
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.dropDuplicates(["region_id", "doc_id"])
+    return out.dropDuplicates(["grid", "res", "region_id", "doc_id", "cell_id"])
 
 
-def cell_postings(dcells: DataFrame, rdocs: DataFrame) -> DataFrame:
-    """B1 output table: (grid, res, cell_id, region_id, doc_ids, n_docs)."""
-    joined = dcells.join(rdocs, "doc_id")
+def region_docs(mcells: DataFrame) -> DataFrame:
+    """(region_id, doc_id) membership via exact PIP over mention coords."""
+    return region_mention_cells(mcells).select("region_id", "doc_id").dropDuplicates()
+
+
+def cell_postings(mcells: DataFrame) -> DataFrame:
+    """B1 TrixelData analog: (grid, res, cell_id, region_id, doc_ids, n_docs)
+    from inside-region mention cells."""
     return (
-        joined.groupBy("grid", "res", "cell_id", "region_id")
+        region_mention_cells(mcells)
+        .groupBy("grid", "res", "cell_id", "region_id")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("doc_ids"))
         .withColumn("n_docs", F.size("doc_ids").cast("long"))
     )

@@ -60,7 +60,7 @@ def cell_tiles(dcells: DataFrame, grid_name: str, z: int) -> DataFrame:
     tile and aggregate postings per tile — raster↔vector movement without
     touching raw coordinates again."""
     import pandas as pd
-    from pyspark.sql.types import StructField, StructType, LongType
+    from pyspark.sql.types import LongType
     from pyspark.sql import functions as F  # noqa: F811
     from ..grids.base import get_grid
 

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from .gazetteer import _METRO  # noqa: F401  (hot cluster reference)
 
 
 def _rect(lat0, lat1, lon0, lon1):

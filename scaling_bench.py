@@ -31,8 +31,6 @@ def worker(cores: int, n_docs: int) -> None:
     # memory scales with the simulated executor count: 4N executors own 4x
     # the aggregate heap (1.5 GiB/core, the usual executor shape)
     os.environ["SPARK_DRIVER_MEM"] = f"{max(8, int(cores * 1.5))}g"
-    from pyspark.sql import functions as F
-
     from oscar_spatial_index_compare_spark.operators.index_build import (
         cell_totals, doc_cells, mention_cells,
     )
@@ -51,24 +49,40 @@ def worker(cores: int, n_docs: int) -> None:
     docs = synth_documents(spark, n_docs, partitions=cores * 4).cache()
     n = docs.count()  # warm the cache outside the timed section
 
-    t0 = time.perf_counter()
-    m = extract_mentions(spark, docs)
-    mc = mention_cells(m, "s2", 10).cache()
-    n_mentions = mc.count()
-    dc = doc_cells(mc)
-    ct = cell_totals(dc).cache()
-    ct.count()
-    tp = token_postings(token_docs(docs), dc, ct)
-    n_postings = tp.count()
-    t_build = time.perf_counter() - t0
+    # the sandbox host shows intermittent CPU steal (up to ~30%); take the
+    # min of repeated runs (1 warmup + 2 timed) so throttling spikes don't
+    # masquerade as scaling behavior
+    def one_build():
+        t0 = time.perf_counter()
+        m = extract_mentions(spark, docs)
+        mc = mention_cells(m, "s2", 10).cache()
+        n_mentions = mc.count()
+        dc = doc_cells(mc)
+        ct = cell_totals(dc).cache()
+        ct.count()
+        tp = token_postings(token_docs(docs), dc, ct)
+        n_postings = tp.count()
+        return time.perf_counter() - t0, n_mentions, n_postings, mc, ct
 
-    t0 = time.perf_counter()
-    matched = 0
-    for rname in ["metro", "country", "concave_c", "south_pent"]:
-        matched += region_query_docs(
-            spark, mc, region_by_name(rname), "s2", 10
-        ).count()
-    t_query = time.perf_counter() - t0
+    t_w, n_mentions, n_postings, mc, ct = one_build()
+    builds = []
+    for _ in range(2):
+        mc.unpersist(); ct.unpersist()
+        t_b, n_mentions, n_postings, mc, ct = one_build()
+        builds.append(t_b)
+    t_build = min(builds)
+
+    def one_query():
+        t0 = time.perf_counter()
+        matched = 0
+        for rname in ["metro", "country", "concave_c", "south_pent"]:
+            matched += region_query_docs(
+                spark, mc, region_by_name(rname), "s2", 10
+            ).count()
+        return time.perf_counter() - t0, matched
+
+    _tq, matched = one_query()  # warmup
+    t_query = min(one_query()[0] for _ in range(2))
 
     print(json.dumps({
         "cores": cores, "n_docs": n, "n_mentions": n_mentions,
@@ -85,7 +99,7 @@ def main() -> None:
         return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     results = {}
-    for cores in (8, 32):
+    for cores in (4, 16):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(cores), str(n_docs)],
             capture_output=True, text=True, cwd=REPO, timeout=3600,
@@ -93,7 +107,7 @@ def main() -> None:
         line = [x for x in out.stdout.splitlines() if x.startswith("{")][-1]
         results[cores] = json.loads(line)
         print(line)
-    r8, r32 = results[8], results[32]
+    r8, r32 = results[4], results[16]
     eff_build = r8["build_sec"] / (4.0 * r32["build_sec"])
     eff_query = r8["query_sec"] / (4.0 * r32["query_sec"])
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -103,7 +117,7 @@ Same code, same deterministic synthetic corpus ({n_docs:,} docs, seed-free),
 two parallelism levels (sandbox proxy for N vs 4N executors, per driver
 instruction).  Fresh JVM per level; corpus cached before timing.
 
-| metric | local[8] (N) | local[32] (4N) |
+| metric | local[4] (N) | local[16] (4N) |
 |---|---|---|
 | index build wall (s) | {r8['build_sec']} | {r32['build_sec']} |
 | build throughput (docs/s) | {r8['build_docs_per_sec']} | {r32['build_docs_per_sec']} |

@@ -7,10 +7,8 @@ query-for-query, and compactification must preserve items()
 """
 
 import pytest
-from pyspark.sql import functions as F
 
 from oscar_spatial_index_compare_spark.operators.hcqr import (
-    compactify,
     hcqr_from_cqr,
     hcqr_items,
     hcqr_stats,

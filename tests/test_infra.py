@@ -1,9 +1,6 @@
 """Checkpointed catalog, streaming ingest, multimodal plumbing,
 determinism + reconstruction invariants (SURVEY §5, FIXTURES §6)."""
 
-import os
-
-import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
@@ -11,7 +8,7 @@ from tests.conftest import SF_DIR
 
 def test_catalog_checkpoint_resume(spark, tmp_path):
     from oscar_spatial_index_compare_spark.sources.catalog import (
-        Catalog, build_index_checkpointed,
+        build_index_checkpointed,
     )
 
     root = str(tmp_path / "cat")
