@@ -33,6 +33,18 @@ from pyspark.sql import functions as F
 from ..functions.geo import pip_col
 from ..grids.base import get_grid
 
+_COVERING_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def cached_covering(grid_name: str, poly: np.ndarray, res: int):
+    """Coverings are deterministic functions of (grid, polygon, res) and are
+    computed serially on the driver — memoize them (repeated queries over
+    the same regions are the common case; this is the query-plan cache)."""
+    key = (grid_name, res, poly.tobytes())
+    if key not in _COVERING_CACHE:
+        _COVERING_CACHE[key] = get_grid(grid_name).covering(poly, res)
+    return _COVERING_CACHE[key]
+
 
 def region_query_docs(
     spark: SparkSession,
@@ -46,7 +58,7 @@ def region_query_docs(
     ``mcells``: mention_cells for (grid, res) — cell_id per mention.
     """
     g = get_grid(grid)
-    full, boundary = g.covering(poly, res)
+    full, boundary = cached_covering(grid, poly, res)
 
     probe = mcells.where((F.col("grid") == grid) & (F.col("res") == res))
 

@@ -188,10 +188,11 @@ class Planner:
         from ..functions.geo import pip_col
         from ..functions.udfs import parent_col
         from ..grids.base import get_grid
+        from ..operators.region_query import cached_covering
 
         ctx = self.ctx
         g = get_grid(ctx.grid)
-        full, boundary = g.covering(poly, ctx.res)
+        full, boundary = cached_covering(ctx.grid, poly, ctx.res)
         spark = ctx.spark
         parts: list[DataFrame] = []
         present = ctx.ctotals.select("cell_id")  # distinct cells with docs
