@@ -78,8 +78,13 @@ def main() -> None:
     build_docs_per_sec = n_docs / timings["index_build_s2"]
 
     def build_h3():
+        # full h3 context build — same three tables as the s2 entry so the
+        # two numbers are comparable (r01 VERDICT bench-asymmetry fix)
         ctx = eng.context("h3", 6)
-        return ctx.mcells.count()
+        n = ctx.mcells.count()
+        ctx.ctotals.count()
+        ctx.tpostings.count()
+        return n
     timed("index_build_h3", build_h3)
 
     # --- 2. region queries (X1), warm index

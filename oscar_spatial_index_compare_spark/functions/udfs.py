@@ -35,6 +35,37 @@ def cell_col(grid_name: str, lat_col: Column, lon_col: Column, res: int) -> Colu
     return cell_udf(grid_name, res)(lat_col, lon_col)
 
 
+def cells_arr_udf(grid_name: str, res: int):
+    """(array<lat>, array<lon>) → array<cell_id>: the grid kernel over
+    flattened batches — one numpy call per Arrow batch, never per row."""
+    from pyspark.sql.types import ArrayType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _cells(lats: pd.Series, lons: pd.Series) -> pd.Series:
+        g = get_grid(grid_name)
+        lens = np.fromiter((len(x) for x in lats), np.int64, count=len(lats))
+        total = int(lens.sum())
+        if total == 0:
+            empty = np.empty(0, np.int64)
+            return pd.Series([empty] * len(lats))
+        flat_la = np.concatenate([np.asarray(x, np.float64) for x in lats])
+        flat_lo = np.concatenate([np.asarray(x, np.float64) for x in lons])
+        ids = np.asarray(g.cell(flat_la, flat_lo, res), np.int64)
+        return pd.Series(np.split(ids, np.cumsum(lens)[:-1]))
+
+    return _cells
+
+
+def cells_arr_col(grid_name: str, lats_col: Column, lons_col: Column, res: int) -> Column:
+    """Array-valued point→cell: native ``zip_with`` lambda when the grid has a
+    column kernel (zxy), else ONE Arrow-batched UDF over the whole array."""
+    g = get_grid(grid_name)
+    probe = g.col_cell(F.lit(0.0), F.lit(0.0), res)
+    if probe is not None:
+        return F.zip_with(lats_col, lons_col, lambda la, lo: g.col_cell(la, lo, res))
+    return cells_arr_udf(grid_name, res)(lats_col, lons_col)
+
+
 def parent_udf(grid_name: str, res: int):
     @F.pandas_udf(LongType())
     def _parent(ids: pd.Series) -> pd.Series:

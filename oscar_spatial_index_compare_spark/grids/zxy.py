@@ -143,7 +143,7 @@ class ZxyGrid(Grid):
         ).cast("long")
         x = F.greatest(F.lit(0).cast("long"), F.least(n.cast("long") - 1, x))
         y = F.greatest(F.lit(0).cast("long"), F.least(n.cast("long") - 1, y))
-        return (F.lit(res).cast("long") * F.lit(1 << 56).cast("long") + x * F.lit(1 << 28).cast("long") + y).alias("cell_id")
+        return F.lit(res).cast("long") * F.lit(1 << 56).cast("long") + x * F.lit(1 << 28).cast("long") + y
 
     def col_level(self, id_col: Column) -> Column:
         return F.shiftright(id_col, 56)

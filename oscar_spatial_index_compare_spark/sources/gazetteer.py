@@ -96,6 +96,27 @@ def gazetteer_df(spark):
     )
 
 
+def gazetteer_array_col():
+    """The gazetteer as ONE literal array<struct<name,glat,glon>> column.
+
+    Backs the row-wise extraction path (operators/index_build.doc_index_base):
+    a 200-entry literal lives in the plan itself, so dictionary matching needs
+    no join at all — the Spark-side analog of the reference walking its
+    in-memory trie per item (``src/OscarSearchSgIndex.cpp:53-102``).
+    """
+    from pyspark.sql import functions as F
+
+    entries = [
+        F.struct(
+            F.lit(n).alias("name"),
+            F.lit(lat).alias("glat"),
+            F.lit(lon).alias("glon"),
+        )
+        for n, lat, lon, _pop in gazetteer()
+    ]
+    return F.array(*entries)
+
+
 def gazetteer_values_sql() -> str:
     """The same gazetteer as an ANSI VALUES relation for the DuckDB oracle."""
     rows = ",\n".join(

@@ -7,8 +7,8 @@ JVM each — over the same deterministic synthetic corpus, and reports
 throughput at both plus efficiency = T_8 / (4 · T_32).
 
 Workload (the headline pipeline, compute-bound by corpus size):
-  synth corpus → geo-entity extraction → s2 cell assignment →
-  cell_totals postings → token postings → 4 region queries → 2 op-trees.
+  synth corpus → one-pass index base (gazetteer match + cells + tokens)
+  → mention_cells → cell_totals → token postings → 4 region queries.
 
 Run:  python scaling_bench.py [n_docs]      (writes BENCH/BASELINE.md)
 Worker: python scaling_bench.py --worker <cores> <n_docs>   (prints JSON)
@@ -25,6 +25,8 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+N_CORES, N4_CORES = 8, 32  # the mandated N / 4N pair
+
 
 def worker(cores: int, n_docs: int) -> None:
     os.environ["SPARK_GRAFT_MASTER"] = f"local[{cores}]"
@@ -32,12 +34,12 @@ def worker(cores: int, n_docs: int) -> None:
     # the aggregate heap (1.5 GiB/core, the usual executor shape)
     os.environ["SPARK_DRIVER_MEM"] = f"{max(8, int(cores * 1.5))}g"
     from oscar_spatial_index_compare_spark.operators.index_build import (
-        cell_totals, doc_cells, mention_cells,
+        cell_totals_from_base, doc_index_base, mention_cells,
     )
     from oscar_spatial_index_compare_spark.operators.mentions import extract_mentions
     from oscar_spatial_index_compare_spark.operators.region_query import region_query_docs
     from oscar_spatial_index_compare_spark.operators.token_index import (
-        token_docs, token_postings,
+        token_postings_from_base,
     )
     from oscar_spatial_index_compare_spark.session import get_spark
     from oscar_spatial_index_compare_spark.sources.regions import region_by_name
@@ -54,21 +56,20 @@ def worker(cores: int, n_docs: int) -> None:
     # masquerade as scaling behavior
     def one_build():
         t0 = time.perf_counter()
-        m = extract_mentions(spark, docs)
-        mc = mention_cells(m, "s2", 10).cache()
+        mc = mention_cells(extract_mentions(spark, docs), "s2", 10).cache()
         n_mentions = mc.count()
-        dc = doc_cells(mc)
-        ct = cell_totals(dc).cache()
+        base = doc_index_base(docs, "s2", 10).cache()
+        ct = cell_totals_from_base(base, "s2", 10).cache()
         ct.count()
-        tp = token_postings(token_docs(docs), dc, ct)
+        tp = token_postings_from_base(base, ct, "s2", 10)
         n_postings = tp.count()
-        return time.perf_counter() - t0, n_mentions, n_postings, mc, ct
+        return time.perf_counter() - t0, n_mentions, n_postings, mc, ct, base
 
-    t_w, n_mentions, n_postings, mc, ct = one_build()
+    t_w, n_mentions, n_postings, mc, ct, base = one_build()
     builds = []
     for _ in range(2):
-        mc.unpersist(); ct.unpersist()
-        t_b, n_mentions, n_postings, mc, ct = one_build()
+        mc.unpersist(); ct.unpersist(); base.unpersist()
+        t_b, n_mentions, n_postings, mc, ct, base = one_build()
         builds.append(t_b)
     t_build = min(builds)
 
@@ -97,9 +98,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), int(sys.argv[3]))
         return
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     results = {}
-    for cores in (4, 16):
+    for cores in (N_CORES, N4_CORES):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(cores), str(n_docs)],
             capture_output=True, text=True, cwd=REPO, timeout=3600,
@@ -107,9 +108,9 @@ def main() -> None:
         line = [x for x in out.stdout.splitlines() if x.startswith("{")][-1]
         results[cores] = json.loads(line)
         print(line)
-    r8, r32 = results[4], results[16]
-    eff_build = r8["build_sec"] / (4.0 * r32["build_sec"])
-    eff_query = r8["query_sec"] / (4.0 * r32["query_sec"])
+    rn, r4n = results[N_CORES], results[N4_CORES]
+    eff_build = rn["build_sec"] / (4.0 * r4n["build_sec"])
+    eff_query = rn["query_sec"] / (4.0 * r4n["query_sec"])
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE — measured throughput + scaling efficiency
 
@@ -117,14 +118,14 @@ Same code, same deterministic synthetic corpus ({n_docs:,} docs, seed-free),
 two parallelism levels (sandbox proxy for N vs 4N executors, per driver
 instruction).  Fresh JVM per level; corpus cached before timing.
 
-| metric | local[4] (N) | local[16] (4N) |
+| metric | local[{N_CORES}] (N) | local[{N4_CORES}] (4N) |
 |---|---|---|
-| index build wall (s) | {r8['build_sec']} | {r32['build_sec']} |
-| build throughput (docs/s) | {r8['build_docs_per_sec']} | {r32['build_docs_per_sec']} |
-| 4 region queries wall (s) | {r8['query_sec']} | {r32['query_sec']} |
-| mentions extracted | {r8['n_mentions']:,} | {r32['n_mentions']:,} |
-| token postings rows | {r8['n_postings']:,} | {r32['n_postings']:,} |
-| region docs matched | {r8['region_docs']:,} | {r32['region_docs']:,} |
+| index build wall (s) | {rn['build_sec']} | {r4n['build_sec']} |
+| build throughput (docs/s) | {rn['build_docs_per_sec']} | {r4n['build_docs_per_sec']} |
+| 4 region queries wall (s) | {rn['query_sec']} | {r4n['query_sec']} |
+| mentions extracted | {rn['n_mentions']:,} | {r4n['n_mentions']:,} |
+| token postings rows | {rn['n_postings']:,} | {r4n['n_postings']:,} |
+| region docs matched | {rn['region_docs']:,} | {r4n['region_docs']:,} |
 
 **Scaling efficiency (T_N / (4·T_4N))**
 * index build: **{eff_build:.2f}**
