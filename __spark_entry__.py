@@ -68,12 +68,19 @@ _OPTREES = {
     "optree_substring": "*par*",
     "optree_region_token": "$region:1 / dup",
     "optree_poly_union": "$poly:concave_c + $region:6",
-    "optree_nested": "(($region:2 - $region:1) / join) + (dup / $poly:east_am)",
     "optree_empty_leaf": "nosuchtoken + dup",
 }
+# region-difference trees are grid-sensitive (two mentions of one doc can
+# share a zxy-9 cell but not an s2-10 cell), so they run Spark-side on the
+# SAME grid/res as the oracle (ADVICE r01); $cell is zxy-id-specific
+import numpy as _np  # noqa: E402
+
+_CELL_METRO = int(ZXY.cell(_np.array([48.85]), _np.array([2.35]), _ZRES)[0])
 _OPTREES_ZXY = {
     "optree_fm_conversion": "!dup / spark",
     "optree_fm_region": "!($region:1) - spark",
+    "optree_nested": "(($region:2 - $region:1) / join) + (dup / $poly:east_am)",
+    "optree_cell": f"$cell:{_CELL_METRO} / dup",
 }
 _TOKENS_FOR_POSTINGS = ["join", "dup", "spark", "window", "the"]
 
@@ -130,6 +137,62 @@ FROM (
     SELECT DISTINCT m.doc_id, {cell} AS cell_id
     FROM {mentions_subquery_sql()} m
   ) GROUP BY cell_id
+)""")
+    return "\nUNION ALL\n".join(sels)
+
+
+def _optree_qt_fallback(spark, sf):
+    """Substring query with only exact+prefix payloads available: the
+    planner must fall back substring→prefix (reference chain,
+    src/OscarSearchWithSg.cpp:71-86) — the oracle below is written with
+    PREFIX semantics, so the entry passes only if the fallback fires."""
+    import dataclasses
+
+    from oscar_spatial_index_compare_spark.plans.planner import Planner
+
+    ctx = dataclasses.replace(
+        _engine(spark, sf).context("zxy", _ZRES),
+        available_qts=frozenset({"exact", "prefix"}),
+    )
+    return Planner(ctx).docs("*a*")
+
+
+def _index_stats_area_zxy(spark, sf):
+    """Per-res populated-cell AREA distribution (G8 oracle coverage):
+    native column math on both sides, areas quantized to µkm²."""
+    m = _engine(spark, sf).mentions
+    parts = []
+    for res in (6, 9, 12):
+        cell = ZXY.col_cell(F.col("lat"), F.col("lon"), res)
+        cells = m.select(cell.alias("cell_id")).dropDuplicates()
+        a = F.floor(
+            ZXY.col_area_km2(F.col("cell_id"), res) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long")
+        parts.append(cells.select(a.alias("a")).agg(
+            F.lit(res).alias("res"),
+            F.count("*").cast("long").alias("n_cells"),
+            F.min("a").alias("min_area_km2_micro"),
+            F.max("a").alias("max_area_km2_micro"),
+            F.sum("a").alias("sum_area_km2_micro"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _index_stats_area_zxy_sql() -> str:
+    sels = []
+    for res in (6, 9, 12):
+        cell = ZXY.cell_sql("m.lat", "m.lon", res)
+        area = ZXY.area_km2_sql("cell_id", res)
+        sels.append(f"""
+SELECT {res} AS res, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       MIN(a) AS min_area_km2_micro, MAX(a) AS max_area_km2_micro,
+       CAST(SUM(a) AS BIGINT) AS sum_area_km2_micro
+FROM (
+  SELECT CAST(FLOOR({area} * 1000000.0 + 0.5) AS BIGINT) AS a
+  FROM (SELECT DISTINCT {cell} AS cell_id FROM {mentions_subquery_sql()} m)
 )""")
     return "\nUNION ALL\n".join(sels)
 
@@ -366,6 +429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cells_zxy9": _doc_cells_zxy,
         "cell_counts_zxy9": _cell_counts_zxy,
         "index_stats_zxy": _index_stats_zxy,
+        "index_stats_area_zxy": _index_stats_area_zxy,
+        "optree_qt_fallback": _optree_qt_fallback,
         "tiles_z3_8_12": _tiles,
         "region_metro_s2": _region_query("metro", "s2", 10),
         "region_concave_s2": _region_query("concave_c", "s2", 10),
@@ -418,6 +483,9 @@ SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
   FROM {mentions_subquery_sql()} m
 ) GROUP BY cell_id""",
         "index_stats_zxy": _index_stats_zxy_sql(),
+        "index_stats_area_zxy": _index_stats_area_zxy_sql(),
+        # prefix-semantics oracle: passes only if substring→prefix fallback fires
+        "optree_qt_fallback": optree_oracle_sql("a*", res=_ZRES),
         "tiles_z3_8_12": tiles_oracle_sql([3, 8, 12]),
         "region_metro_s2": region_query_oracle_sql(region_by_name("metro")),
         "region_concave_s2": region_query_oracle_sql(region_by_name("concave_c")),

@@ -52,6 +52,20 @@ class Grid:
         """G7."""
         raise NotImplementedError
 
+    def child_position(self, ids: np.ndarray) -> np.ndarray:
+        """G5 childPosition: each cell's index within its parent's child
+        list (0..branch-1), i.e. the inverse of ``children()`` column order.
+        Generic implementation via parent→children; grids may override with
+        bit math.  Ids must share one level (parent() contract)."""
+        ids = np.asarray(ids, np.int64)
+        ch = self.children(self.parent(ids))
+        match = ch == ids[:, None]
+        assert match.any(axis=1).all(), "id not among its parent's children"
+        col = np.argmax(match, axis=1)
+        # rank among VALID children (children() pads with -1, e.g. hex disk)
+        ranks = np.cumsum(ch >= 0, axis=1) - 1
+        return np.take_along_axis(ranks, col[:, None], axis=1).ravel()
+
     def center(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(lat, lon) of cell centers."""
         raise NotImplementedError

@@ -179,7 +179,14 @@ def _minhash_sql() -> str:
 
 def minhash_lsh_pairs(docs: DataFrame, threshold_ppm: int = 500_000) -> DataFrame:
     """LSH candidates (some band of 4 minhashes equal) verified by exact
-    Jaccard — → (doc_a, doc_b, jac_ppm)."""
+    Jaccard — → (doc_a, doc_b, jac_ppm).
+
+    Verification is CANDIDATE-ONLY (r01 VERDICT fix): each candidate pair
+    joins the two per-doc shingle sets and computes |∩|/|∪| via
+    array_intersect — the full all-pairs shingle self-join that LSH exists
+    to avoid never runs.  At 100 TB the cost is O(candidates · doc length),
+    not O(Σ df²).
+    """
     sig = minhash_signatures(docs)
     bands = []
     for band in range(N_BANDS):
@@ -197,8 +204,24 @@ def minhash_lsh_pairs(docs: DataFrame, threshold_ppm: int = 500_000) -> DataFram
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates()
     )
-    verified = jaccard_pairs(docs, threshold_ppm)
-    return cand.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jac_ppm")
+    sets = shingles(docs).groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh_set")
+    )
+    j = (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"),
+                              F.col("sh_set").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"),
+                          F.col("sh_set").alias("sh_b")), "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn(
+            "jac_ppm",
+            F.expr(
+                "CAST((1000000 * n_inter)"
+                " DIV (size(sh_a) + size(sh_b) - n_inter) AS BIGINT)"
+            ),
+        )
+    )
+    return j.where(F.col("jac_ppm") >= threshold_ppm).select("doc_a", "doc_b", "jac_ppm")
 
 
 def minhash_lsh_pairs_oracle(threshold_ppm: int = 500_000) -> str:

@@ -358,6 +358,79 @@ def _decompose_fm(grid: str, jobs: list[tuple[int, int, list[tuple[int, int]]]])
     return fm_cells, leaf_hits
 
 
+# overlap pairs above this are not collected; difference falls back to a
+# fully distributed leaf-expansion decomposition (r01 VERDICT item 7: the
+# driver collect was unbounded in principle)
+MAX_DRIVER_OVERLAP_PAIRS = 100_000
+
+
+def _difference_by_leaf_expansion(
+    lf_surv: DataFrame, rall: DataFrame, rf: DataFrame, rp: DataFrame,
+    grid: str, res: int, spark: SparkSession, ctotals: DataFrame,
+) -> list[DataFrame]:
+    """Distributed decomposition of fm_L − R: expand every OVERLAPPED fm_L
+    container to its populated leaves (ancestor equi-joins, no BNLJ), then
+    subtract R at leaf level.  compactify() in hcqr_op re-rolls the
+    surviving leaves, so the normal form is restored.  Never collects
+    data-dependent rows to the driver."""
+    from ..functions.udfs import parent_col
+
+    over_keys = (
+        rall.join(F.broadcast(_fside(lf_surv, grid)), _contains_cond(grid))
+        .select(F.col("f_pixel").alias("pixel_id"), F.col("f_level").alias("level"))
+        .dropDuplicates()
+    )
+    parts = [
+        lf_surv.join(over_keys, ["pixel_id", "level"], "left_anti")
+        .select(*HCQR_COLS)
+    ]
+    # populated leaves under the overlapped containers, one equi-join per
+    # distinct container level (≤ res+1 driver-side values, never row data)
+    lvls = [row.level for row in over_keys.select("level").dropDuplicates().collect()]
+    leaf_parts = []
+    pop = ctotals.select("cell_id")
+    for lvl in lvls:
+        if int(lvl) == res:
+            keys = over_keys.where(F.col("level") == lvl).select(
+                F.col("pixel_id").alias("cell_id")
+            )
+            leaf_parts.append(pop.join(keys, "cell_id", "left_semi"))
+        else:
+            anc = parent_col(grid, F.col("cell_id"), int(lvl), from_res=res)
+            keys = over_keys.where(F.col("level") == lvl).select(
+                F.col("pixel_id").alias("_anc")
+            )
+            leaf_parts.append(
+                pop.withColumn("_anc", anc)
+                .join(keys, "_anc", "left_semi").select("cell_id")
+            )
+    leaves = leaf_parts[0]
+    for p in leaf_parts[1:]:
+        leaves = leaves.unionByName(p)
+    leaves = leaves.select(
+        F.col("cell_id").alias("pixel_id"), F.lit(res).cast("int").alias("level")
+    ).dropDuplicates()
+    # leaf ⊆ fm_R → gone entirely
+    leaves = leaves.join(
+        F.broadcast(_fside(rf, grid)), _contains_cond(grid), "left_anti"
+    )
+    # leaf == pm_R pixel → cell totals − pm docs; else stays fm
+    rpx = rp.select(F.col("pixel_id"), F.col("doc_ids").alias("rdocs"))
+    hit = leaves.join(rpx, "pixel_id")
+    parts.append(
+        hit.join(
+            ctotals.select(F.col("cell_id").alias("pixel_id"),
+                           F.col("doc_ids").alias("tdocs")),
+            "pixel_id",
+        ).select(
+            "pixel_id", "level", F.lit(False).alias("is_fm"),
+            F.array_sort(F.array_except(F.col("tdocs"), F.col("rdocs"))).alias("doc_ids"),
+        ).where(F.size("doc_ids") > 0)
+    )
+    parts.append(_mkfm(leaves.join(rpx, "pixel_id", "left_anti")))
+    return parts
+
+
 def _hcqr_difference(
     l: DataFrame, r: DataFrame, grid: str, res: int,
     spark: SparkSession, ctotals: DataFrame,
@@ -388,7 +461,10 @@ def _hcqr_difference(
         F.broadcast(_fside(rf, grid)), _contains_cond(grid), "left_anti"
     ).select(*HCQR_COLS)
     # overlap pairs: surviving fm_L rows containing-or-equal any R row; the
-    # fm side flips roles here — lf_surv rows are the containers ('f')
+    # fm side flips roles here — lf_surv rows are the containers ('f').
+    # Collect is CAPPED: a too-large overlap set switches to the fully
+    # distributed leaf-expansion decomposition instead of pulling
+    # O(postings-cells) rows to the driver.
     pairs = (
         rall.join(F.broadcast(_fside(lf_surv, grid)), _contains_cond(grid))
         .select(
@@ -396,8 +472,17 @@ def _hcqr_difference(
             F.col("pixel_id").alias("opix"), F.col("level").alias("olvl"),
             F.col("is_fm").alias("ofm"),
         )
+        .limit(MAX_DRIVER_OVERLAP_PAIRS + 1)
         .collect()
     )
+    if len(pairs) > MAX_DRIVER_OVERLAP_PAIRS:
+        parts.extend(_difference_by_leaf_expansion(
+            lf_surv, rall, rf, rp, grid, res, spark, ctotals
+        ))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     overlapped: dict[tuple[int, int], list[tuple[int, int]]] = {}
     fm_hit_leaves: set[int] = set()
     for row in pairs:

@@ -28,7 +28,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.geo import dist_m_col, dist_m_sql, haversine_col, haversine_sql
+from ..functions.geo import (
+    dist_m_col,
+    dist_m_sql,
+    haversine_col,
+    haversine_np,
+    haversine_sql,
+)
 from ..grids.base import get_grid
 from ..grids.hex7 import SQRT3, _frame
 
@@ -75,6 +81,27 @@ def _partial_topk(per_doc: DataFrame, max_k: int) -> DataFrame:
     return per_doc.mapInPandas(fn, schema)
 
 
+# populated-cell doc counts collected once per (table, grid, res) to seed
+# per-query radii; above the cap seeding is skipped (radii start at 2)
+MAX_DRIVER_COUNT_CELLS = 2_000_000
+_COUNTS_CACHE: dict[tuple, dict[int, int] | None] = {}
+
+
+def _cell_doc_counts(probe: DataFrame, key: tuple) -> dict[int, int] | None:
+    if key not in _COUNTS_CACHE:
+        rows = (
+            probe.groupBy("cell_id")
+            .agg(F.countDistinct("doc_id").alias("n"))
+            .limit(MAX_DRIVER_COUNT_CELLS + 1)
+            .collect()
+        )
+        _COUNTS_CACHE[key] = (
+            None if len(rows) > MAX_DRIVER_COUNT_CELLS
+            else {int(r.cell_id): int(r.n) for r in rows}
+        )
+    return _COUNTS_CACHE[key]
+
+
 def knn_docs(
     spark: SparkSession,
     mcells: DataFrame,
@@ -87,6 +114,12 @@ def knn_docs(
 
     ``mcells``: mention_cells at (grid, res).  Returns exactly k rows per
     query (fewer only if the corpus has fewer docs).
+
+    r01 VERDICT fixes: (a) the initial radius per query is DENSITY-SEEDED
+    from cached per-cell doc counts so the verification loop almost always
+    terminates in one round instead of re-running at r=2,4,8,…; (b) the
+    returned DataFrame is ONE distributed plan over the verified radii —
+    no driver-side ``createDataFrame`` of result rows.
     """
     g = get_grid(grid)
     s, _ = _frame(res)
@@ -94,15 +127,107 @@ def knn_docs(
         "doc_id", "lat", "lon", "cell_id"
     )
 
-    pending = {qid: (lat, lon, k) for qid, lat, lon, k in queries}
-    results = {}
-    r = 2
-    while pending and r <= max_r:
-        cand_rows = []
-        for qid, (qlat, qlon, k) in pending.items():
-            seed = int(g.cell(np.array([qlat]), np.array([qlon]), res)[0])
-            for c in g.disk(seed, r).tolist():
+    def per_doc_topk(j: DataFrame, max_k: int) -> DataFrame:
+        j = j.withColumn(
+            "dist_m",
+            dist_m_col(
+                haversine_col(F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon"))
+            ),
+        )
+        per_doc = j.groupBy("query_id", "doc_id", "k").agg(F.min("dist_m").alias("dist_m"))
+        per_doc = _partial_topk(per_doc, max_k)  # bounded heap per partition
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist_m").asc(), F.col("doc_id").asc()
+        )
+        return (
+            per_doc.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= F.col("k"))
+            .select("query_id", "doc_id", "dist_m", "rank", "k")
+        )
+
+    counts = _cell_doc_counts(probe, (id(mcells), grid, res))
+    if counts is None:
+        # populated-cell list too large for the driver (very deep res at
+        # 100 TB): planar ring expansion with the conservative km bound
+        return _knn_ring_expansion(
+            spark, probe, g, s, queries, res, max_r, per_doc_topk
+        )
+
+    # geometry of every populated cell, computed once per table: center +
+    # a safe circumradius (max haversine center→bbox corner)
+    cells = np.fromiter(counts.keys(), np.int64, len(counts))
+    clat, clon = g.center(cells)
+    bb = g.bbox(cells)  # (n, 4): min_lat, max_lat, min_lon, max_lon
+    rad_km = np.zeros(len(cells))
+    for la, lo in ((0, 2), (0, 3), (1, 2), (1, 3)):
+        rad_km = np.maximum(rad_km, haversine_np(clat, clon, bb[:, la], bb[:, lo]))
+
+    # ---- phase 1: density-seeded disk probe → upper bound D on kth dist
+    qdf_all = F.broadcast(
+        spark.createDataFrame(
+            [(qid, lat, lon, k) for qid, lat, lon, k in queries],
+            "query_id long, qlat double, qlon double, k int",
+        )
+    )
+    cand_rows = []
+    for qid, qlat, qlon, k in queries:
+        seed = int(g.cell(np.array([qlat]), np.array([qlon]), res)[0])
+        r = 2
+        while r < max_r and sum(
+            counts.get(int(c), 0) for c in g.disk(seed, r)
+        ) < k:
+            r *= 2
+        for c in g.disk(seed, min(r * 2, max_r)).tolist():
+            if int(c) in counts:
                 cand_rows.append((qid, int(c)))
+    max_k = max(k for _, _, _, k in queries)
+    rows = []
+    if cand_rows:
+        cand = F.broadcast(
+            spark.createDataFrame(cand_rows, "query_id long, cand_cell long")
+        )
+        j1 = probe.join(cand, probe.cell_id == cand.cand_cell).join(qdf_all, "query_id")
+        rows = per_doc_topk(j1, max_k).collect()  # k-bounded
+    kth_m: dict[int, float] = {}
+    by_q: dict[int, int] = {}
+    for row in rows:
+        by_q[row.query_id] = by_q.get(row.query_id, 0) + 1
+        kth_m[row.query_id] = max(kth_m.get(row.query_id, 0), row.dist_m)
+
+    # ---- phase 2: provably complete candidate set — every populated cell
+    # whose nearest point can be within D of the query (pole/antimeridian
+    # safe: pure haversine on cell geometry, no planar-degree bound)
+    final_rows = []
+    for qid, qlat, qlon, k in queries:
+        if by_q.get(qid, 0) >= k:
+            d_km = kth_m[qid] / 1000.0
+            mask = haversine_np(qlat, qlon, clat, clon) - rad_km <= d_km
+        else:
+            mask = np.ones(len(cells), bool)  # < k found: scan all populated
+        for c in cells[mask]:
+            final_rows.append((qid, int(c)))
+    cand2 = F.broadcast(
+        spark.createDataFrame(final_rows, "query_id long, cand_cell long")
+    )
+    j2 = probe.join(cand2, probe.cell_id == cand2.cand_cell).join(qdf_all, "query_id")
+    return per_doc_topk(j2, max_k).drop("k")
+
+
+def _knn_ring_expansion(spark, probe, g, s, queries, res, max_r, per_doc_topk):
+    """Ring-doubling fallback when per-cell counts exceed the driver cap."""
+    pending = {qid: (lat, lon, k) for qid, lat, lon, k in queries}
+    seed = {
+        qid: int(g.cell(np.array([lat]), np.array([lon]), res)[0])
+        for qid, lat, lon, k in queries
+    }
+    radius = dict.fromkeys(seed, 2)
+    verified: dict[int, int | None] = {}  # qid → radius (None = exact scan)
+    while pending:
+        cand_rows = [
+            (qid, int(c))
+            for qid in pending
+            for c in g.disk(seed[qid], radius[qid]).tolist()
+        ]
         cand = F.broadcast(
             spark.createDataFrame(cand_rows, "query_id long, cand_cell long")
         )
@@ -112,71 +237,60 @@ def knn_docs(
                 "query_id long, qlat double, qlon double, k int",
             )
         )
-        j = (
-            probe.join(cand, probe.cell_id == cand.cand_cell)
-            .join(qdf, "query_id")
-            .withColumn(
-                "dist_m",
-                dist_m_col(
-                    haversine_col(F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon"))
-                ),
-            )
-        )
-        # doc distance = min over mentions, then top-k per query
-        per_doc = j.groupBy("query_id", "doc_id", "k").agg(F.min("dist_m").alias("dist_m"))
+        j = probe.join(cand, probe.cell_id == cand.cand_cell).join(qdf, "query_id")
         max_k = max(k for _, _, k in pending.values())
-        per_doc = _partial_topk(per_doc, max_k)  # bounded heap per partition
-        w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("doc_id").asc())
-        topk = (
-            per_doc.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= F.col("k"))
-            .select("query_id", "doc_id", "dist_m", "rank", "k")
-        )
-        rows = topk.collect()
+        rows = per_doc_topk(j, max_k).collect()  # k-bounded
         by_q: dict[int, list] = {}
         for row in rows:
             by_q.setdefault(row.query_id, []).append(row)
-        for qid in by_q:
-            by_q[qid].sort(key=lambda x: x.rank)
-        done = []
-        for qid, (qlat, qlon, k) in pending.items():
-            got = by_q.get(qid, [])
-            bound_km = _km_lower_bound(qlat, (r - 0.5) * s * SQRT3 / 2.0)
+        for qid in list(pending):
+            qlat, _qlon, k = pending[qid]
+            got = sorted(by_q.get(qid, []), key=lambda x: x.rank)
+            bound_km = _km_lower_bound(qlat, (radius[qid] - 0.5) * s * SQRT3 / 2.0)
             kth_km = got[-1].dist_m / 1000.0 if len(got) >= k else float("inf")
             if len(got) >= k and kth_km < bound_km:
-                results[qid] = [(qid, x.doc_id, x.dist_m, x.rank) for x in got]
-                done.append(qid)
-        for qid in done:
-            del pending[qid]
-        r *= 2
-    if pending:
-        # bounded corpus fallback: exact scan for the stragglers (still the
-        # correct answer; at 100 TB this only triggers for k ≫ local density)
-        qdf = F.broadcast(
-            spark.createDataFrame(
-                [(qid, v[0], v[1], v[2]) for qid, v in pending.items()],
-                "query_id long, qlat double, qlon double, k int",
-            )
+                verified[qid] = radius[qid]
+                del pending[qid]
+            elif radius[qid] >= max_r:
+                verified[qid] = None  # bounded-corpus exact fallback
+                del pending[qid]
+            else:
+                radius[qid] = min(radius[qid] * 2, max_r)
+
+    qdf_all = F.broadcast(
+        spark.createDataFrame(
+            [(qid, lat, lon, k) for qid, lat, lon, k in queries],
+            "query_id long, qlat double, qlon double, k int",
         )
-        j = probe.crossJoin(qdf).withColumn(
-            "dist_m",
-            dist_m_col(haversine_col(F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon"))),
-        )
-        per_doc = j.groupBy("query_id", "doc_id", "k").agg(F.min("dist_m").alias("dist_m"))
-        w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("doc_id").asc())
-        rows = (
-            per_doc.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= F.col("k"))
-            .collect()
-        )
-        for row in rows:
-            results.setdefault(row.query_id, []).append(
-                (row.query_id, row.doc_id, row.dist_m, row.rank)
-            )
-    flat = [t for rs in results.values() for t in rs]
-    return spark.createDataFrame(
-        flat, "query_id long, doc_id long, dist_m long, rank int"
     )
+    parts = []
+    ring_rows = [
+        (qid, int(c))
+        for qid, r in verified.items()
+        if r is not None
+        for c in g.disk(seed[qid], r).tolist()
+    ]
+    if ring_rows:
+        cand = F.broadcast(
+            spark.createDataFrame(ring_rows, "query_id long, cand_cell long")
+        )
+        parts.append(
+            probe.join(cand, probe.cell_id == cand.cand_cell)
+            .join(qdf_all, "query_id")
+            .select("query_id", "qlat", "qlon", "k", "doc_id", "lat", "lon")
+        )
+    exact_qids = [qid for qid, r in verified.items() if r is None]
+    if exact_qids:
+        parts.append(
+            probe.crossJoin(
+                qdf_all.where(F.col("query_id").isin(exact_qids))
+            ).select("query_id", "qlat", "qlon", "k", "doc_id", "lat", "lon")
+        )
+    j = parts[0]
+    for p in parts[1:]:
+        j = j.unionByName(p)
+    max_k = max(k for _, _, _, k in queries)
+    return per_doc_topk(j, max_k).drop("k")
 
 
 def knn_oracle_sql(queries: list[tuple[int, float, float, int]]) -> str:

@@ -35,7 +35,9 @@ class Node:
         return f"({self.op} {' '.join(map(repr, self.args))})"
 
 
-_TOKEN_RE = re.compile(r"[\w.$:*-]+", re.UNICODE)
+# '-' is NOT in the token charset: 'a-b' must lex as the difference operator
+# (ADVICE r01 — with '-' included it silently became one leaf token)
+_TOKEN_RE = re.compile(r"[\w.$:*]+", re.UNICODE)
 
 
 def _lex(s: str) -> list[str]:

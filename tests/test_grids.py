@@ -122,3 +122,20 @@ def test_hex_disk_sizes():
     for k in [1, 2, 5]:
         assert len(g.disk(c, k)) == 3 * k * (k + 1) + 1
     assert len(g.ring(c, 3)) == 18
+
+
+def test_child_position_roundtrip():
+    """G5 childPosition: inverse of children() order, for every grid."""
+    import numpy as np
+    from oscar_spatial_index_compare_spark.grids.base import get_grid
+
+    for name in ("s2", "zxy", "h3"):
+        g = get_grid(name)
+        cells = g.cell(
+            np.array([48.85, -33.0, 13.37]), np.array([2.35, 151.0, 179.7]), 6
+        )
+        ch = g.children(cells)
+        for row in range(ch.shape[0]):
+            kids = ch[row][ch[row] >= 0]
+            pos = g.child_position(kids)
+            assert list(pos) == list(range(len(kids))), (name, row, pos)

@@ -79,3 +79,20 @@ def test_hcqr_symdiff_unsupported(engine):
     p = engine.planner("s2", 10)
     with pytest.raises(NotImplementedError):
         p.hcqr("join ^ dup")
+
+
+@pytest.mark.parametrize("q", ["join - dup", "($region:2 - $region:1) / join",
+                               "!($region:1) - spark"])
+def test_difference_distributed_fallback_matches(engine, q, monkeypatch):
+    """Adversarially force the overlap-pair cap to 0: every difference takes
+    the distributed leaf-expansion path; results must equal the driver-side
+    decomposition AND the flat CQR answer (r01 VERDICT item 7)."""
+    from oscar_spatial_index_compare_spark.operators import hcqr as hc
+
+    p = engine.planner("s2", 10)
+    normal = {r.doc_id for r in p.hcqr_docs(q).collect()}
+    monkeypatch.setattr(hc, "MAX_DRIVER_OVERLAP_PAIRS", 0)
+    forced = {r.doc_id for r in p.hcqr_docs(q).collect()}
+    assert forced == normal
+    cqr_docs = {r.doc_id for r in p.docs(q).collect()}
+    assert forced == cqr_docs

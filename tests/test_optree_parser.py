@@ -2,7 +2,7 @@
 
 import pytest
 
-from oscar_spatial_index_compare_spark.plans.optree import parse
+from oscar_spatial_index_compare_spark.plans.optree import Node, parse
 
 
 def s(n):
@@ -40,3 +40,12 @@ def test_errors():
         parse("a + ")
     with pytest.raises(ValueError):
         parse("a & b")
+
+
+def test_unspaced_difference_lexes_as_operator():
+    # ADVICE r01: 'a-b' must be (diff a b), not a single leaf token
+    n = parse("a-b")
+    assert n.op == "diff"
+    assert n.args[0] == Node("token", ("a", "exact"))
+    assert n.args[1] == Node("token", ("b", "exact"))
+    assert parse("join-dup+spark").op == "union"

@@ -1,0 +1,123 @@
+"""ANN / near-dup verification (r01 VERDICT item 5 — the promised recall
+tests for the two approximate operators that have no SQL oracle).
+
+* LSH-ANN: recall ≥ 0.6 vs brute-force cosine top-k AND every returned
+  score equals the exact cosine (the approximation may drop neighbors but
+  never invents or mis-scores them).
+* near-dup: injected perturbed duplicates (cos ≈ 0.9998) are found with
+  recall ≥ 0.8 vs the numpy brute-force pair set, and every reported pair's
+  score matches the exact cosine.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from oscar_spatial_index_compare_spark.operators.similarity import (
+    ann_topk,
+    cosine_topk,
+    embedding_neardup_pairs,
+)
+from tests.conftest import SF_DIR
+
+K = 10
+
+
+def _queries():
+    return [
+        (qid, [float(round(math.cos(0.37 * qid + 0.11 * i), 6)) for i in range(64)])
+        for qid in (1, 2, 3)
+    ]
+
+
+def _np_embeddings(spark):
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .orderBy("vec_id").collect()
+    )
+    ids = np.array([r.vec_id for r in rows], np.int64)
+    mat = np.array([r.embedding for r in rows], np.float64)
+    return ids, mat
+
+
+def _np_sim_micro(v, q):
+    s = float(v @ q) / (np.linalg.norm(v) * np.linalg.norm(q))
+    return math.floor(s * 1_000_000.0 + 0.5)
+
+
+def test_ann_recall_and_score_exactness(spark):
+    """ANN contract: on queries that HAVE near neighbors (10 planted
+    perturbations at cos ≈ 0.99 per query, on top of the 500 background
+    vectors), recall@10 ≥ 0.6 per query — and every returned score equals
+    the exact cosine.  (On uniform-random data whose top-k sit at cos ≈ 0.3
+    no sublinear index can rank them; that regime is cosine_topk's.)"""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = _queries()
+    planted = []
+    for qid, q in qs:
+        v = np.asarray(q, np.float64)
+        for j in range(K):
+            noise = 0.03 * np.cos(np.arange(64) * (j + 1) + qid)
+            planted.append(
+                (100_000 + qid * 100 + j, [float(x) for x in v + noise], 0)
+            )
+    pdf = spark.createDataFrame(planted, "vec_id long, embedding array<float>, label int")
+    both = emb.unionByName(pdf).cache()
+    exact = cosine_topk(both, qs, K).collect()
+    approx = ann_topk(both, qs, K, spark).collect()
+    rows = both.collect()
+    by_id = {int(r.vec_id): np.asarray(r.embedding, np.float64) for r in rows}
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = []
+    for qid, q in qs:
+        got = {r.vec_id for r in approx if r.query_id == qid}
+        recalls.append(len(got & exact_sets[qid]) / K)
+    assert min(recalls) >= 0.6, f"per-query ANN recall {recalls}"
+    # score exactness: every ANN row carries the true cosine (quantized)
+    qvec = dict(qs)
+    for r in approx:
+        want = _np_sim_micro(by_id[r.vec_id], np.asarray(qvec[r.query_id]))
+        assert abs(r.sim_micro - want) <= 1, (r.query_id, r.vec_id)
+
+
+def test_neardup_finds_injected_duplicates(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.orderBy("vec_id").limit(20).collect()
+    injected = []
+    for r in base:
+        v = np.asarray(r.embedding, np.float64)
+        noise = 0.005 * np.cos(np.arange(64) + r.vec_id)  # deterministic
+        injected.append(
+            (int(r.vec_id) + 100_000, [float(x) for x in v + noise], 0)
+        )
+    dup_df = spark.createDataFrame(
+        injected, "vec_id long, embedding array<float>, label int"
+    )
+    both = emb.unionByName(dup_df)
+    got = embedding_neardup_pairs(both, spark, 990_000).collect()
+    got_pairs = {(r.vec_a, r.vec_b) for r in got}
+    # every injected (orig, perturbed) pair must be found
+    for r in base:
+        assert (int(r.vec_id), int(r.vec_id) + 100_000) in got_pairs, r.vec_id
+    # brute-force ground truth over the unioned set (float32 exact input)
+    rows = both.orderBy("vec_id").collect()
+    ids = [int(r.vec_id) for r in rows]
+    mat = np.array([r.embedding for r in rows], np.float64)
+    nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nrm @ nrm.T
+    truth = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if math.floor(sims[i, j] * 1e6 + 0.5) >= 990_000:
+                truth.add((ids[i], ids[j]))
+    assert truth, "fixture produced no ground-truth pairs"
+    recall = len(got_pairs & truth) / len(truth)
+    assert recall >= 0.8, f"near-dup recall {recall} over {len(truth)} pairs"
+    # no invented pairs: every reported pair is genuinely above threshold
+    idx = {v: i for i, v in enumerate(ids)}
+    for a, b in got_pairs:
+        assert math.floor(sims[idx[a], idx[b]] * 1e6 + 0.5) >= 990_000 - 1, (a, b)
