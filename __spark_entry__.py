@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_concave_s2": _region_query("concave_c", "s2", 10),
         "region_polar_s2": _region_query("polar", "s2", 10),
         "region_south_h3": _region_query("south_pent", "h3", 5),
+        "region_east_htm": _region_query("east_am", "htm", 9),
         "region_country_zxy": _region_query("country", "zxy", _ZRES),
         "region_counts_all": _region_counts,
         "token_postings_stats": _token_postings_stats,
@@ -456,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hcqr_docs_intersect": _hcqr_docs("join / window", "s2", 10),
         "hcqr_docs_region_diff": _hcqr_docs("$region:2 - $region:1", "s2", 10),
         "hcqr_docs_union_zxy": _hcqr_docs("dup + spark", "zxy", _ZRES),
+        "hcqr_docs_diff_htm": _hcqr_docs("join - dup", "htm", 9),
         "hcqr_stats_join_window": _hcqr_stats,  # rows-only (tree metrics)
         "cell_postings_region_zxy": _cell_postings_region,
         "cqr_stats_dup_zxy": _cqr_stats_dup,
@@ -491,6 +493,7 @@ SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
         "region_concave_s2": region_query_oracle_sql(region_by_name("concave_c")),
         "region_polar_s2": region_query_oracle_sql(region_by_name("polar")),
         "region_south_h3": region_query_oracle_sql(region_by_name("south_pent")),
+        "region_east_htm": region_query_oracle_sql(region_by_name("east_am")),
         "region_country_zxy": region_query_oracle_sql(region_by_name("country")),
         "region_counts_all": _region_counts_sql(),
         "token_postings_stats": _token_postings_stats_sql(),
@@ -519,6 +522,7 @@ SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
         "hcqr_docs_intersect": optree_oracle_sql("join / window", res=_ZRES),
         "hcqr_docs_region_diff": optree_oracle_sql("$region:2 - $region:1", res=_ZRES),
         "hcqr_docs_union_zxy": optree_oracle_sql("dup + spark", res=_ZRES),
+        "hcqr_docs_diff_htm": optree_oracle_sql("join - dup", res=_ZRES),
         "cell_postings_region_zxy": _cell_postings_region_sql(),
         "cqr_stats_dup_zxy": _cqr_stats_dup_sql(),
     })

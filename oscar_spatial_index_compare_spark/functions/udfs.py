@@ -76,10 +76,7 @@ def parent_udf(grid_name: str, res: int):
 
 def parent_col(grid_name: str, id_col: Column, res: int, from_res: int | None = None) -> Column:
     g = get_grid(grid_name)
-    try:
-        native = g.col_parent(id_col, res, from_res) if grid_name == "zxy" else g.col_parent(id_col, res)
-    except TypeError:
-        native = None
+    native = g.col_parent(id_col, res, from_res)
     if native is not None:
         return native
     return parent_udf(grid_name, res)(id_col)
@@ -102,6 +99,8 @@ def parent1_col(grid_name: str, id_col: Column) -> Column:
             + F.shiftright(x, 1) * F.lit(1 << 28).cast("long")
             + F.shiftright(y, 1)
         )
+    if grid_name == "htm":
+        return F.shiftright(id_col, 2)
 
     @F.pandas_udf(LongType())
     def _p1(ids: pd.Series) -> pd.Series:

@@ -98,7 +98,7 @@ class Grid:
     def col_level(self, id_col):
         return None
 
-    def col_parent(self, id_col, res: int):
+    def col_parent(self, id_col, res: int, from_res: int | None = None):
         return None
 
     def col_range(self, id_col, res: int):
@@ -116,7 +116,7 @@ def register(grid: Grid) -> Grid:
 
 def _populate() -> None:
     # import-on-demand to avoid cycles; idempotent
-    from . import hex7, s2, zxy  # noqa: F401
+    from . import hex7, htm, s2, zxy  # noqa: F401
 
 
 def get_grid(name: str) -> Grid:

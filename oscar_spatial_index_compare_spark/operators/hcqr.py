@@ -33,7 +33,7 @@ from ..grids.base import get_grid
 
 HCQR_COLS = ["pixel_id", "level", "is_fm", "doc_ids"]
 
-_BRANCH = {"s2": 4, "zxy": 4, "h3": 7}
+_BRANCH = {"s2": 4, "zxy": 4, "htm": 4, "h3": 7}
 
 
 def hcqr_from_cqr(cqr: DataFrame, grid: str, res: int, ctotals: DataFrame,
@@ -45,11 +45,14 @@ def hcqr_from_cqr(cqr: DataFrame, grid: str, res: int, ctotals: DataFrame,
         F.lit(res).cast("int").alias("level"),
         "is_fm", "doc_ids",
     )
-    # materialize: an HCQR is reused many times by the op layer and the
-    # compactify internals reference their input ~levels× — without a plan
+    # plan boundary: an HCQR is reused many times by the op layer and the
+    # compactify internals reference their input ~levels× — without a
     # boundary here, nested ops make Catalyst analysis explode
     # multiplicatively (observed: minutes of driver CPU on a 3-node tree).
-    return compactify(leaves, grid, res, ctotals, min_level, pop_anc).localCheckpoint()
+    # eager=False keeps the boundary but folds materialization into the
+    # next job instead of one Spark job per tree node (r01 had 35 jobs for
+    # a 3-node query; lazy checkpoints + root-only compaction → ~8).
+    return compactify(leaves, grid, res, ctotals, min_level, pop_anc).localCheckpoint(eager=False)
 
 
 def explode_ancestors(df: DataFrame, grid: str, res: int, min_level: int,
@@ -71,6 +74,14 @@ def explode_ancestors(df: DataFrame, grid: str, res: int, min_level: int,
             anc = F.col("pixel_id").bitwiseAND(-nl).bitwiseOR(nl)
             entries.append(F.struct(
                 anc.alias("apix"),
+                (F.col("level") - F.lit(k)).cast("int").alias("alvl"),
+            ))
+        e = df.select(*keep, "level", F.explode(F.array(*entries)).alias("e"))
+    elif grid == "htm":
+        entries = []
+        for k in range(res - min_level + 1):
+            entries.append(F.struct(
+                F.shiftright(F.col("pixel_id"), 2 * k).alias("apix"),
                 (F.col("level") - F.lit(k)).cast("int").alias("alvl"),
             ))
         e = df.select(*keep, "level", F.explode(F.array(*entries)).alias("e"))
@@ -244,7 +255,12 @@ def _contains_cond(grid: str):
             + (oy / F.pow(F.lit(2.0), d)).cast("long")
         )
         return (d >= 0) & (anc == F.col("f_pixel"))
-    raise NotImplementedError("HCQR set ops require a prefix-id grid (s2/zxy)")
+    if grid == "htm":
+        d = F.col("level") - F.col("f_level")
+        # ids < 2^44: double division by 4^d is exact, cast truncates = floor
+        anc = (F.col("pixel_id").cast("double") / F.pow(F.lit(4.0), d)).cast("long")
+        return (d >= 0) & (anc == F.col("f_pixel"))
+    raise NotImplementedError("HCQR set ops require a prefix-id grid (s2/zxy/htm)")
 
 
 def _strict_cond(grid: str):
@@ -532,10 +548,15 @@ def _hcqr_difference(
 def hcqr_op(
     op: str, l: DataFrame, r: DataFrame, grid: str, res: int,
     spark: SparkSession, ctotals: DataFrame,
-    pop_anc: DataFrame | None = None,
+    pop_anc: DataFrame | None = None, compact: bool = True,
 ) -> DataFrame:
     """Binary HCQR op (union/inter/diff), reference semantics
-    (``src/HcqrOpTree.cpp:106-135``), then re-compaction."""
+    (``src/HcqrOpTree.cpp:106-135``).
+
+    Set ops PRESERVE disjointness and pm-at-leaf-res of their normal-form
+    inputs, so re-compaction per node is an optimization, not a correctness
+    need — the planner re-compacts ONCE at the tree root (``compact=True``
+    keeps the per-op behavior for direct callers)."""
     if op == "union":
         out = _hcqr_union(l, r, grid)
     elif op == "inter":
@@ -544,8 +565,10 @@ def hcqr_op(
         out = _hcqr_difference(l, r, grid, res, spark, ctotals)
     else:
         raise ValueError(op)  # '^' unsupported in HCQR (HcqrOpTree.cpp:136)
-    out = out.localCheckpoint()  # plan boundary (see hcqr_from_cqr note)
-    return compactify(out, grid, res, ctotals, pop_anc=pop_anc).localCheckpoint()
+    out = out.localCheckpoint(eager=False)  # plan boundary (hcqr_from_cqr note)
+    if not compact:
+        return out
+    return compactify(out, grid, res, ctotals, pop_anc=pop_anc).localCheckpoint(eager=False)
 
 
 def hcqr_all_to_full(h: DataFrame) -> DataFrame:

@@ -13,7 +13,7 @@ QUERIES = [
     "$poly:concave_c + $region:6",
 ]
 
-GRIDS = [("s2", 10), ("zxy", 9), ("h3", 5)]
+GRIDS = [("s2", 10), ("zxy", 9), ("h3", 5), ("htm", 9)]
 
 
 @pytest.mark.parametrize("q", QUERIES)
@@ -22,6 +22,6 @@ def test_all_grids_agree(engine, q):
     for grid, res in GRIDS:
         p = engine.planner(grid, res)
         results[grid] = frozenset(r.doc_id for r in p.docs(q).collect())
-    assert results["s2"] == results["zxy"] == results["h3"], {
+    assert results["s2"] == results["zxy"] == results["h3"] == results["htm"], {
         g: len(v) for g, v in results.items()
     }

@@ -14,7 +14,7 @@ RNG = np.random.default_rng(42)
 LAT = RNG.uniform(-89, 89, 5000)
 LON = RNG.uniform(-180, 180, 5000)
 
-CASES = [("s2", [0, 3, 10, 30]), ("h3", [0, 4, 9]), ("zxy", [0, 5, 12])]
+CASES = [("s2", [0, 3, 10, 30]), ("h3", [0, 4, 9]), ("zxy", [0, 5, 12]), ("htm", [0, 4, 12])]
 
 
 @pytest.mark.parametrize("name,levels", CASES)
@@ -43,7 +43,7 @@ def test_parent_is_ancestor(name, levels):
         assert (p1 == p2).all()
 
 
-@pytest.mark.parametrize("name,res", [("s2", 5), ("h3", 4), ("zxy", 6)])
+@pytest.mark.parametrize("name,res", [("s2", 5), ("h3", 4), ("zxy", 6), ("htm", 5)])
 def test_children_inverse(name, res):
     g = get_grid(name)
     cells = np.unique(g.cell(LAT[:500], LON[:500], res))
@@ -79,7 +79,7 @@ def test_hex_children_count_is_seven():
     assert (counts == 7).all()
 
 
-@pytest.mark.parametrize("name,res", [("s2", 9), ("h3", 5), ("zxy", 9)])
+@pytest.mark.parametrize("name,res", [("s2", 9), ("h3", 5), ("zxy", 9), ("htm", 8)])
 def test_covering_conservative(name, res):
     g = get_grid(name)
     poly = np.array([[10.0, 20.0], [10.0, 40.0], [30.0, 45.0], [32.0, 18.0]])
@@ -129,7 +129,7 @@ def test_child_position_roundtrip():
     import numpy as np
     from oscar_spatial_index_compare_spark.grids.base import get_grid
 
-    for name in ("s2", "zxy", "h3"):
+    for name in ("s2", "zxy", "h3", "htm"):
         g = get_grid(name)
         cells = g.cell(
             np.array([48.85, -33.0, 13.37]), np.array([2.35, 151.0, 179.7]), 6
