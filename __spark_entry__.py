@@ -157,6 +157,24 @@ def _optree_qt_fallback(spark, sf):
     return Planner(ctx).docs("*a*")
 
 
+def _optree_prefix_payload(spark, sf):
+    """Prefix leaf answered from a MATERIALIZED per-qt payload table
+    (token_index.materialize_qt_postings — the reference's per-trie-node
+    payloads) instead of plan-time dictionary expansion."""
+    import dataclasses
+
+    from oscar_spatial_index_compare_spark.operators.token_index import (
+        materialize_qt_postings,
+    )
+    from oscar_spatial_index_compare_spark.plans.planner import Planner
+
+    ctx = _engine(spark, sf).context("zxy", _ZRES)
+    mat = dataclasses.replace(
+        ctx, qt_tables={"prefix": materialize_qt_postings(ctx.tpostings, "prefix")}
+    )
+    return Planner(mat).docs("jo* / dup")
+
+
 def _index_stats_area_zxy(spark, sf):
     """Per-res populated-cell AREA distribution (G8 oracle coverage):
     native column math on both sides, areas quantized to µkm²."""
@@ -431,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats_zxy": _index_stats_zxy,
         "index_stats_area_zxy": _index_stats_area_zxy,
         "optree_qt_fallback": _optree_qt_fallback,
+        "optree_prefix_payload": _optree_prefix_payload,
         "tiles_z3_8_12": _tiles,
         "region_metro_s2": _region_query("metro", "s2", 10),
         "region_concave_s2": _region_query("concave_c", "s2", 10),
@@ -488,6 +507,7 @@ SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
         "index_stats_area_zxy": _index_stats_area_zxy_sql(),
         # prefix-semantics oracle: passes only if substring→prefix fallback fires
         "optree_qt_fallback": optree_oracle_sql("a*", res=_ZRES),
+        "optree_prefix_payload": optree_oracle_sql("jo* / dup", res=_ZRES),
         "tiles_z3_8_12": tiles_oracle_sql([3, 8, 12]),
         "region_metro_s2": region_query_oracle_sql(region_by_name("metro")),
         "region_concave_s2": region_query_oracle_sql(region_by_name("concave_c")),

@@ -87,6 +87,14 @@ def main() -> None:
         return n
     timed("index_build_h3", build_h3)
 
+    def build_htm():
+        ctx = eng.context("htm", 9)
+        n = ctx.mcells.count()
+        ctx.ctotals.count()
+        ctx.tpostings.count()
+        return n
+    timed("index_build_htm", build_htm)
+
     # --- 2. region queries (X1), warm index
     ctx = eng.context("s2", 10)
     total_region_docs = 0
@@ -101,6 +109,10 @@ def main() -> None:
         total_region_docs += n
     region_total = time.perf_counter() - t0
     region_qps = len(REGION_NAMES) / region_total
+    hmctx = eng.context("htm", 9)
+    timed("region_east_htm", lambda: region_query_docs(
+        spark, hmctx.mcells, region_by_name("east_am"), "htm", 9
+    ).count())
 
     # --- 3. op-tree set-op queries (Q1-Q10)
     p = eng.planner("s2", 10)

@@ -112,6 +112,70 @@ def match_tokens(all_tokens: list[str], pattern: str, qt: str) -> list[str]:
     raise ValueError(qt)
 
 
+def materialize_qt_postings(tp_exact: DataFrame, qt: str,
+                            max_key_len: int = 12) -> DataFrame:
+    """Materialize a non-exact query-type payload table from exact postings
+    — the reference's per-trie-node payloads
+    (``include/hic/OscarSearchSgIndex.h:29-35``), Spark-style.
+
+    Each exact posting row fans out to every dictionary KEY that reaches it
+    under ``qt`` (prefixes / suffixes / substrings of the token, capped at
+    ``max_key_len`` chars like a trie depth cap), then one groupBy merges
+    per (key, cell).  Fully distributed — no driver dictionary at any size;
+    a query leaf then needs ONE key-equality lookup instead of plan-time
+    dictionary expansion.  Output schema == token_postings with qt set.
+
+    ``is_fm`` is inherited (any contributing token fm ⟹ key fm): a pm union
+    that happens to cover a whole cell stays pm-with-full-list — items()-
+    equivalent, and identical to the planner's plan-time-expansion
+    semantics (SURVEY §4 decision), though the reference would reclassify
+    such a cell as fm when building the payload from scratch.
+    """
+    if qt == "prefix":
+        keys = F.expr(
+            f"transform(sequence(1, least(length(token), {max_key_len})),"
+            " i -> substring(token, 1, i))"
+        )
+    elif qt == "suffix":
+        keys = F.expr(
+            f"transform(sequence(1, least(length(token), {max_key_len})),"
+            " i -> substring(token, -i, i))"
+        )
+    elif qt == "substring":
+        keys = F.expr(
+            "array_distinct(flatten(transform(sequence(1, length(token)),"
+            f" i -> transform(sequence(i, least(length(token), i + {max_key_len} - 1)),"
+            " j -> substring(token, i, j - i + 1)))))"
+        )
+    else:
+        raise ValueError(f"materialize_qt_postings: qt must be non-exact, got {qt!r}")
+    fanned = tp_exact.select(
+        F.explode(keys).alias("token"),
+        "grid", "res", "cell_id",
+        F.col("is_fm").alias("_fm"), F.col("doc_ids").alias("_docs"),
+        F.col("n_docs").alias("_n"),
+    )
+    merged = fanned.groupBy("token", "grid", "res", "cell_id").agg(
+        F.max("_fm").alias("any_fm"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(F.coalesce("_docs", F.array()))))
+        ).alias("m_docs"),
+        # any fm contributor's _n IS the cell total (it matched every doc)
+        F.max(F.when(F.col("_fm"), F.col("_n"))).alias("_fm_n"),
+    )
+    # a key's cell is fm iff ANY contributing token was fm there (that token
+    # already matched every doc of the cell) — doc_ids NULL iff fm
+    return merged.select(
+        "token",
+        F.lit(qt).alias("qt"),
+        "grid", "res", "cell_id",
+        F.col("any_fm").alias("is_fm"),
+        F.when(F.col("any_fm"), F.lit(None)).otherwise(F.col("m_docs")).alias("doc_ids"),
+        F.when(F.col("any_fm"), F.col("_fm_n"))
+        .otherwise(F.size("m_docs")).cast("long").alias("n_docs"),
+    )
+
+
 QT_FALLBACK = {
     # reference fallback chain substring→prefix→suffix→exact
     # (src/OscarSearchWithSg.cpp:71-86, src/static-htm-index.cpp:83-105)

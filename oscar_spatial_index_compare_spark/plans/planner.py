@@ -68,6 +68,11 @@ class QueryContext:
     # falls back down the reference chain substring→prefix→suffix→exact
     # (resolve_qt; src/OscarSearchWithSg.cpp:71-86)
     available_qts: frozenset = ALL_QTS
+    # MATERIALIZED non-exact payload tables (token_index.
+    # materialize_qt_postings) — a leaf with one becomes a single
+    # key-equality lookup, the reference's per-trie-node payload read
+    # (include/hic/OscarSearchSgIndex.h:29-35)
+    qt_tables: dict | None = None
     _pop_anc: DataFrame | None = None
 
     def pop_anc(self) -> DataFrame:
@@ -169,6 +174,10 @@ class Planner:
             # reference qt-fallback chain when the requested payload is
             # unavailable (OscarSearchWithSg.cpp:71-86; VERDICT r01 item 4)
             qt = resolve_qt(qt, ctx.available_qts)
+            if qt != "exact" and ctx.qt_tables and qt in ctx.qt_tables:
+                # materialized payload: one key-equality row group per cell
+                tp = ctx.qt_tables[qt].where(F.col("token") == F.lit(pat))
+                return tp.select("cell_id", "is_fm", "doc_ids")
             if ctx.tokens is not None:
                 matched = match_tokens(ctx.tokens, pat, qt)
                 if not matched:

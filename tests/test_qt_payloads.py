@@ -1,0 +1,41 @@
+"""Materialized per-qt payload tables (VERDICT r01 'missing' item 3 —
+reference include/hic/OscarSearchSgIndex.h:29-35): a leaf over a
+materialized prefix/suffix/substring table must answer exactly like
+plan-time dictionary expansion, for every query type."""
+
+import dataclasses
+
+import pytest
+
+from oscar_spatial_index_compare_spark.operators.token_index import (
+    materialize_qt_postings,
+)
+from oscar_spatial_index_compare_spark.plans.planner import Planner
+
+QUERIES = ["jo*", "*up", "*par*", "*a*", "sp*", "*ndow", "jo* / dup", "*ar* - spark"]
+
+
+@pytest.fixture(scope="module")
+def planners(engine):
+    ctx = engine.context("zxy", 9)
+    qt_tables = {
+        qt: materialize_qt_postings(ctx.tpostings, qt).cache()
+        for qt in ("prefix", "suffix", "substring")
+    }
+    return Planner(ctx), Planner(dataclasses.replace(ctx, qt_tables=qt_tables))
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_materialized_equals_expansion(planners, q):
+    base, mat = planners
+    a = {r.doc_id for r in base.docs(q).collect()}
+    b = {r.doc_id for r in mat.docs(q).collect()}
+    assert a == b, (q, len(a), len(b))
+
+
+def test_materialized_table_shape(engine):
+    ctx = engine.context("zxy", 9)
+    tp = materialize_qt_postings(ctx.tpostings, "prefix")
+    assert tp.columns == ctx.tpostings.columns
+    row = tp.where("token = 'jo'").limit(1).collect()
+    assert row and row[0].qt == "prefix"
