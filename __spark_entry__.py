@@ -399,6 +399,21 @@ def _dedup_simhash(spark, sf):
     return simhash(_docs(spark, sf))
 
 
+def _dedup_clusters(spark, sf):
+    from oscar_spatial_index_compare_spark.operators.dedup import (
+        dup_clusters, jaccard_pairs,
+    )
+    return dup_clusters(jaccard_pairs(_docs(spark, sf), 500_000))
+
+
+def _dedup_canonical(spark, sf):
+    from oscar_spatial_index_compare_spark.operators.dedup import (
+        dedup_canonical, jaccard_pairs,
+    )
+    d = _docs(spark, sf)
+    return dedup_canonical(d, jaccard_pairs(d, 500_000))
+
+
 def _text_entries():
     from oscar_spatial_index_compare_spark.functions import text as T
 
@@ -470,6 +485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
+        "dedup_clusters": _dedup_clusters,
+        "dedup_canonical": _dedup_canonical,
         "embed_cosine_topk": _embed_topk,
         "embed_ann_lsh": _embed_ann,            # rows-only (approximate)
         "embed_neardup_lsh": _embed_neardup_lsh,  # rows-only (approximate)
@@ -525,6 +542,8 @@ SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
         o[name] = optree_oracle_sql(tree, res=_ZRES)
     from oscar_spatial_index_compare_spark.operators.dedup import (
         EXACT_DUP_ORACLE,
+        dedup_canonical_oracle,
+        dup_clusters_oracle,
         jaccard_pairs_oracle,
         minhash_lsh_pairs_oracle,
         simhash_oracle,
@@ -536,6 +555,8 @@ SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
         "dedup_jaccard": jaccard_pairs_oracle(500_000),
         "dedup_minhash_lsh": minhash_lsh_pairs_oracle(500_000),
         "dedup_simhash": simhash_oracle(),
+        "dedup_clusters": dup_clusters_oracle(jaccard_pairs_oracle(500_000)),
+        "dedup_canonical": dedup_canonical_oracle(jaccard_pairs_oracle(500_000)),
         "embed_cosine_topk": cosine_topk_oracle(_EMBED_QUERIES, 10),
         # embed_ann_lsh / embed_neardup_lsh / hcqr_stats: rows-only (approx /
         # non-SQL-expressible tree metrics) — pytest covers recall + metrics

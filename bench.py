@@ -61,7 +61,9 @@ def main() -> None:
         return out
 
     t_total0 = time.perf_counter()
-    spark = get_spark(app_name="osi-bench", cores=CPUS, shuffle_partitions=CPUS)
+    os.makedirs("/dev/shm/sparktmp", exist_ok=True)
+    spark = get_spark(app_name="osi-bench", cores=CPUS, shuffle_partitions=CPUS,
+                      extra_conf={"spark.local.dir": "/dev/shm/sparktmp"})
     docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs_df.count()
 

@@ -21,8 +21,8 @@ from pyspark.sql import functions as F
 
 from .operators.index_build import (
     cell_totals_from_base,
-    doc_index_base,
-    mention_cells,
+    doc_index_full,
+    mention_cells_from_full,
 )
 from .operators.mentions import extract_mentions
 from .operators.token_index import token_postings_from_base
@@ -68,13 +68,14 @@ class Engine:
     def context(self, grid: str = "s2", res: int = 10) -> QueryContext:
         key = (grid, res)
         if key not in self._ctx:
-            base = doc_index_base(self.docs, grid, res)
-            mc = mention_cells(self.mentions, grid, res)
+            # ONE cached frame feeds every index table (the gazetteer match
+            # runs once per corpus pass); mention_cells is an explode view
+            full = doc_index_full(self.docs, grid, res)
             if self.cache:
-                base = base.cache()
-                mc = mc.cache()
-            ct = cell_totals_from_base(base, grid, res)
-            tp = token_postings_from_base(base, ct, grid, res)
+                full = full.cache()
+            mc = mention_cells_from_full(full, grid, res)
+            ct = cell_totals_from_base(full, grid, res)
+            tp = token_postings_from_base(full, ct, grid, res)
             if self.cache:
                 ct = ct.cache()
                 tp = tp.cache()

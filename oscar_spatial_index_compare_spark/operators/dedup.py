@@ -246,6 +246,106 @@ SELECT v.doc_a, v.doc_b, v.jac_ppm FROM ver v JOIN cand c
 
 
 # --------------------------------------------------------------------------
+# duplicate clustering (connected components) + canonical selection
+# --------------------------------------------------------------------------
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Near-duplicate PAIRS → components: (doc_id, cluster_id) where
+    cluster_id = min doc_id of the connected component.
+
+    Iterative min-label propagation with POINTER HALVING — the
+    Spark-idiomatic connected components (each round: one edge join + one
+    min-groupBy + one label→label-of-label compression join, all over the
+    LABEL table, which holds only docs that appear in some pair, not the
+    corpus).  Halving makes rounds O(log diameter); the driver loop carries
+    only a changed-row COUNT per round, never data.  At 100 TB dup
+    components are near-cliques, so 2-3 rounds dominate.
+    """
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).dropDuplicates().localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("a").alias("doc_id")).dropDuplicates()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "b"), "b"
+        ).select(F.col("a").alias("doc_id"), "label")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id").agg(F.min("label").alias("label"))
+        )
+        # pointer halving: label ← label's label (labels only shrink)
+        new_labels = (
+            new_labels.join(
+                new_labels.select(
+                    F.col("doc_id").alias("label"), F.col("label").alias("_l2")
+                ),
+                "label", "left",
+            )
+            .select("doc_id", F.coalesce("_l2", "label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            labels.withColumnRenamed("label", "old")
+            .join(new_labels, "doc_id")
+            .where(F.col("old") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def _edges_cte(pairs_sql: str) -> str:
+    return f"""pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+)"""
+
+
+def dup_clusters_oracle(pairs_sql: str) -> str:
+    """DuckDB twin: min reachable id via recursive transitive closure."""
+    return f"""
+WITH RECURSIVE {_edges_cte(pairs_sql)},
+reach(doc_id, label) AS (
+  SELECT a AS doc_id, a AS label FROM edges
+  UNION
+  SELECT e.a AS doc_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.b
+)
+SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+
+def dedup_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The actual DEDUPLICATED corpus: drop every clustered doc except its
+    component's min doc_id — → (doc_id) survivors.  One anti-join against
+    the (small) non-canonical member list; the corpus never shuffles."""
+    clusters = dup_clusters(pairs)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.select("doc_id").join(F.broadcast(losers), "doc_id", "left_anti")
+
+
+def dedup_canonical_oracle(pairs_sql: str) -> str:
+    return f"""
+WITH RECURSIVE {_edges_cte(pairs_sql)},
+reach(doc_id, label) AS (
+  SELECT a AS doc_id, a AS label FROM edges
+  UNION
+  SELECT e.a AS doc_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.b
+),
+clusters AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

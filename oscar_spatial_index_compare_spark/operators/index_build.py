@@ -37,36 +37,63 @@ HOT_SALT_BUCKETS = 8
 HOT_CELL_THRESHOLD = 1_000_000
 
 
-def doc_index_base(docs: DataFrame, grid: str, res: int) -> DataFrame:
-    """documents → (doc_id, toks array<string>, cells array<long>) in ONE
+def doc_index_full(docs: DataFrame, grid: str, res: int) -> DataFrame:
+    """documents → (doc_id, toks, names, lats, lons, cells_m, cells) in ONE
     narrow stage — the whole extraction+cell-assignment dataflow with zero
     shuffles (SURVEY B1/B2; reference scan loop ``src/OscarSgIndex.cpp:96-128``).
 
     Per row: match the 200-entry gazetteer literal against the text
-    (matched_gazetteer_col — pure ``contains``), jitter each mention's
+    (matched_idx_col — unrolled codegen ``contains``), jitter each mention's
     coordinates (same closed form as the oracle), assign cells (native
-    column math for zxy; one Arrow-batched numpy call for s2/hex), and carry
-    the distinct token set.  Downstream, cell_totals_from_base and
-    token_postings_from_base each need exactly ONE wide operation — at 100 TB
-    this replaces the r01 chain (mentions explode → dropDuplicates →
-    salted agg → token explode ⋈ doc_cells) of 4 wide stages.
+    column math for zxy; one Arrow-batched numpy call over the whole array
+    for s2/hex/htm), and carry the distinct token set.  ``cells_m`` is
+    per-mention (zip-aligned with names/lats/lons); ``cells`` is the
+    distinct set.  EVERY index table derives from this one cached frame:
+    cell_totals / token_postings each need exactly ONE wide operation, and
+    mention_cells is a plain arrays_zip explode — the gazetteer match runs
+    ONCE per corpus pass (r01 ran it separately for mentions and postings).
     """
     from ..sources.gazetteer import jitter_lat_col, jitter_lon_col
     from .mentions import matched_gazetteer_col
 
     ents = matched_gazetteer_col()
     base = docs.select("doc_id", "text", ents.alias("_g"))
+    names = F.transform(F.col("_g"), lambda g: g["name"])
     lats = F.transform(
         F.col("_g"), lambda g: jitter_lat_col(F.col("doc_id"), g["name"], g["glat"])
     )
     lons = F.transform(
         F.col("_g"), lambda g: jitter_lon_col(F.col("doc_id"), g["name"], g["glon"])
     )
-    cells = cells_arr_col(grid, lats, lons, res)
+    cells_m = cells_arr_col(grid, lats, lons, res)
     return base.select(
         "doc_id",
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
-        F.array_distinct(cells).alias("cells"),
+        names.alias("names"), lats.alias("lats"), lons.alias("lons"),
+        cells_m.alias("cells_m"),
+    ).withColumn("cells", F.array_distinct(F.col("cells_m")))
+
+
+def doc_index_base(docs: DataFrame, grid: str, res: int) -> DataFrame:
+    """(doc_id, toks, cells) projection of doc_index_full — kept as the
+    minimal input contract of cell_totals_from_base / token_postings_from_base."""
+    return doc_index_full(docs, grid, res).select("doc_id", "toks", "cells")
+
+
+def mention_cells_from_full(full: DataFrame, grid: str, res: int) -> DataFrame:
+    """mention_cells as a plain arrays_zip explode of doc_index_full — no
+    second gazetteer match, no per-mention UDF rows."""
+    e = full.select(
+        "doc_id",
+        F.explode(F.arrays_zip("names", "lats", "lons", "cells_m")).alias("e"),
+    )
+    return e.select(
+        F.lit(grid).alias("grid"), F.lit(res).alias("res"),
+        "doc_id",
+        F.col("e.names").alias("name"),
+        F.col("e.lats").alias("lat"),
+        F.col("e.lons").alias("lon"),
+        F.col("e.cells_m").alias("cell_id"),
     )
 
 
@@ -110,6 +137,15 @@ def cell_totals_from_base(base: DataFrame, grid: str, res: int,
         "cell_id", "doc_ids",
         F.size("doc_ids").cast("long").alias("n_docs"),
     )
+
+
+def mention_cells_from_docs(docs: DataFrame, grid: str, res: int) -> DataFrame:
+    """mention_cells computed ARRAY-WISE from documents: matched gazetteer
+    entries, jitter and cells stay per-doc arrays (one Arrow/codegen row per
+    DOC — ~34x fewer rows through the cell UDF than the exploded form),
+    then a single arrays_zip explode.  Row-identical to
+    ``mention_cells(extract_mentions(docs), grid, res)``."""
+    return mention_cells_from_full(doc_index_full(docs, grid, res), grid, res)
 
 
 def mention_cells(mentions: DataFrame, grid: str, res: int) -> DataFrame:

@@ -19,29 +19,59 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.gazetteer import (
-    gazetteer_array_col,
-    gazetteer_df,
     jitter_lat_col,
     jitter_lon_col,
     mentions_subquery_sql,
 )
 
 
+def matched_idx_col() -> F.Column:
+    """array<int> of gazetteer indices whose name occurs in ``text`` —
+    200 UNROLLED ``contains`` CASE expressions over one padded-text value.
+
+    Why unrolled instead of `filter(gaz_array, lambda …)`: lambda-taking
+    collection functions are CodegenFallback in Spark — the whole stage
+    drops out of whole-stage codegen into interpreted eval (measured 5-10x
+    wall on the 1M-doc build, with executor threads in Concat.eval /
+    interpreted UTF8String paths).  Unrolled CASEs + array_compact are all
+    codegen expressions; subexpression elimination shares the single padded
+    text across the 200 checks.
+    """
+    from ..sources.gazetteer import gazetteer
+
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    cases = [
+        F.when(F.contains(padded, F.lit(f" {name} ")), F.lit(i))
+        for i, (name, _la, _lo, _pop) in enumerate(gazetteer())
+    ]
+    return F.array_compact(F.array(*cases))
+
+
 def matched_gazetteer_col() -> F.Column:
     """array<struct<name,glat,glon>> of gazetteer entries mentioned in
-    ``text`` — a row-wise ``contains`` scan of the dictionary literal.
+    ``text`` — matched-index scan (codegen) + struct assembly over the ~30
+    matches only.
 
-    Equivalent to the explode+broadcast-join form in ``extract_mentions``:
-    with single-space-separated tokens, name ∈ unigrams∪bigrams(text) ⟺
-    ``' '||name||' '`` is a substring of ``' '||text||' '`` (the same
-    equivalence every DuckDB oracle relies on via mentions_subquery_sql).
-    Entirely JVM-side; no shuffle, no UDF — this is what makes the one-pass
-    index build (doc_index_base) a single narrow stage.
+    Equivalent to the explode+broadcast-join form: with single-space
+    separated tokens, name ∈ unigrams∪bigrams(text) ⟺ ``' '||name||' '``
+    is a substring of ``' '||text||' '`` (the same equivalence every DuckDB
+    oracle relies on via mentions_subquery_sql).  Entirely JVM-side; no
+    shuffle, no UDF — this is what makes the one-pass index build
+    (doc_index_base) a single narrow stage.
     """
-    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-    return F.filter(
-        gazetteer_array_col(),
-        lambda g: F.contains(padded, F.concat(F.lit(" "), g["name"], F.lit(" "))),
+    from ..sources.gazetteer import gazetteer
+
+    entries = gazetteer()
+    names = F.array(*[F.lit(n) for n, _la, _lo, _p in entries])
+    glats = F.array(*[F.lit(la) for _n, la, _lo, _p in entries])
+    glons = F.array(*[F.lit(lo) for _n, _la, lo, _p in entries])
+    return F.transform(
+        matched_idx_col(),
+        lambda i: F.struct(
+            F.element_at(names, i + 1).alias("name"),
+            F.element_at(glats, i + 1).alias("glat"),
+            F.element_at(glons, i + 1).alias("glon"),
+        ),
     )
 
 
@@ -51,26 +81,26 @@ def extract_mentions(spark: SparkSession, docs: DataFrame,
     lat, lon).
 
     A mention is a distinct gazetteer name occurring in the doc's token
-    stream (unigrams and space-joined bigrams).  ``with_idx`` adds
-    mention_idx (the doc's mentions numbered in name order — deterministic,
-    SQL-reproducible) at the cost of a per-doc window shuffle; the index
-    pipelines never need it, so the hot path skips it.
+    stream (unigrams and space-joined bigrams) — matched with the row-wise
+    dictionary-literal ``contains`` scan (matched_gazetteer_col), the same
+    form every oracle uses.  The r1 variant exploded all ~108 unigram+bigram
+    candidates per doc and broadcast-joined the gazetteer; its zip_with/
+    concat bigram expression is codegen-ineligible (higher-order functions
+    run interpreted) and allocation-heavy — at local[32] the allocation
+    storm drove GC into stop-the-world spirals (measured: 34% thread CPU,
+    10x wall).  The contains scan allocates almost nothing per row.
+
+    ``with_idx`` adds mention_idx (the doc's mentions numbered in name
+    order — deterministic, SQL-reproducible) at the cost of a per-doc
+    window shuffle; the index pipelines never need it.
     """
-    toks = F.split(F.col("text"), " ")
-    # adjacent-pair bigrams: zip tokens with their shifted-by-one selves;
-    # the dangling last pair concat()s with NULL → NULL → filtered out
-    bigrams = F.expr(
-        "filter(zip_with(split(text, ' '),"
-        " slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)),"
-        " (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"
-    )
-    cand = F.array_distinct(F.concat(toks, bigrams))
-    exploded = docs.select("doc_id", F.explode(cand).alias("name"))
-    gaz = F.broadcast(gazetteer_df(spark))
-    m = exploded.join(gaz, "name").select(
-        "doc_id", "name",
-        jitter_lat_col(F.col("doc_id"), F.col("name"), F.col("lat")).alias("lat"),
-        jitter_lon_col(F.col("doc_id"), F.col("name"), F.col("lon")).alias("lon"),
+    m = docs.select(
+        "doc_id", F.explode(matched_gazetteer_col()).alias("g")
+    ).select(
+        "doc_id",
+        F.col("g.name").alias("name"),
+        jitter_lat_col(F.col("doc_id"), F.col("g.name"), F.col("g.glat")).alias("lat"),
+        jitter_lon_col(F.col("doc_id"), F.col("g.name"), F.col("g.glon")).alias("lon"),
     )
     if not with_idx:
         return m

@@ -160,6 +160,64 @@ def ann_topk(
     )
 
 
+def write_bucketed_embeddings(emb: DataFrame, path: str) -> None:
+    """Persist the ANN index: embeddings written PARTITIONED BY LSH bucket.
+    At 100 TB this is the layout that makes ann_topk_bucketed a
+    partition-pruned read — a query touches ~79/4096 directories (hamming-2
+    multiprobe), never the full corpus."""
+    planes = _planes()
+    emb.withColumn("bucket", lsh_bucket_col(F.col("embedding"), planes)) \
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def ann_topk_bucketed(
+    spark: SparkSession, path: str, queries: list[tuple[int, list[float]]],
+    k: int, hamming: int = 2,
+) -> DataFrame:
+    """ann_topk over a write_bucketed_embeddings layout: the bucket filter
+    is a PARTITION filter (visible as PartitionFilters in the scan), so
+    non-probed buckets are never read.  Same results as ann_topk."""
+    emb = spark.read.parquet(path)
+    planes = _planes()
+    n_p = len(planes)
+    rows = []
+    for qid, q in queries:
+        v = np.asarray(q, dtype=np.float64)
+        b0 = sum((1 << j) if float(v @ planes[j]) >= 0 else 0 for j in range(n_p))
+        probes = {b0}
+        if hamming >= 1:
+            probes |= {b0 ^ (1 << j) for j in range(n_p)}
+        if hamming >= 2:
+            probes |= {
+                b0 ^ (1 << j) ^ (1 << j2)
+                for j in range(n_p) for j2 in range(j + 1, n_p)
+            }
+        rows.extend((qid, int(b)) for b in probes)
+    probe_df = F.broadcast(spark.createDataFrame(rows, "query_id long, bucket long"))
+    all_buckets = sorted({b for _, b in rows})
+    cand = emb.where(F.col("bucket").isin(all_buckets)).join(probe_df, "bucket")
+    parts = []
+    for qid, q in queries:
+        qn = float(np.linalg.norm(np.asarray(q, dtype=np.float64)))
+        sim = _dot_col(F.col("embedding"), q) / (_norm_col(F.col("embedding")) * F.lit(qn))
+        parts.append(
+            cand.where(F.col("query_id") == qid).select(
+                "query_id", "vec_id",
+                F.floor(sim * F.lit(1_000_000.0) + F.lit(0.5)).cast("long").alias("sim_micro"),
+            )
+        )
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionByName(p)
+    scored = scored.dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("sim_micro").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim_micro", "rank")
+    )
+
+
 # banded OR-construction for near-dup detection: a pair is a candidate when
 # ANY band of 4 sign bits matches.  For cosine θ the per-bit agreement is
 # p = 1 − θ/π; candidate probability 1−(1−p⁴)³ ≈ 0.96 at sim 0.95 (the

@@ -109,6 +109,10 @@ def gazetteer_array_col():
     entries = [
         F.struct(
             F.lit(n).alias("name"),
+            # pre-padded form: the match is contains(' '||text||' ', pname)
+            # with ZERO per-check allocation (the padded text is built once
+            # per row; each of the 200 checks is a pure substring scan)
+            F.lit(f" {n} ").alias("pname"),
             F.lit(lat).alias("glat"),
             F.lit(lon).alias("glon"),
         )

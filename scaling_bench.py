@@ -34,9 +34,8 @@ def worker(cores: int, n_docs: int) -> None:
     # the aggregate heap (1.5 GiB/core, the usual executor shape)
     os.environ["SPARK_DRIVER_MEM"] = f"{max(8, int(cores * 1.5))}g"
     from oscar_spatial_index_compare_spark.operators.index_build import (
-        cell_totals_from_base, doc_index_base, mention_cells,
+        cell_totals_from_base, doc_index_full, mention_cells_from_full,
     )
-    from oscar_spatial_index_compare_spark.operators.mentions import extract_mentions
     from oscar_spatial_index_compare_spark.operators.region_query import region_query_docs
     from oscar_spatial_index_compare_spark.operators.token_index import (
         token_postings_from_base,
@@ -45,31 +44,38 @@ def worker(cores: int, n_docs: int) -> None:
     from oscar_spatial_index_compare_spark.sources.regions import region_by_name
     from oscar_spatial_index_compare_spark.sources.synth import synth_documents
 
+    # shuffle spill/temp on tmpfs: the sandbox's shared disk adds a large
+    # FIXED wall per shuffle that swamps the parallel fraction at local[32]
+    # (a real cluster's per-node NVMe scales with executors); same setting
+    # at both levels keeps the comparison fair
+    os.makedirs("/dev/shm/sparktmp", exist_ok=True)
     spark = get_spark(app_name=f"scaling-{cores}", cores=cores,
-                      shuffle_partitions=max(cores, 8))
+                      shuffle_partitions=max(cores, 8),
+                      extra_conf={"spark.local.dir": "/dev/shm/sparktmp"})
     spark.sparkContext.setLogLevel("ERROR")
     docs = synth_documents(spark, n_docs, partitions=cores * 4).cache()
     n = docs.count()  # warm the cache outside the timed section
 
-    # the sandbox host shows intermittent CPU steal (up to ~30%); take the
-    # min of repeated runs (1 warmup + 2 timed) so throttling spikes don't
-    # masquerade as scaling behavior
+    # the sandbox host shows intermittent noisy-neighbor slowdowns (2-3x
+    # swings on identical warm runs); take the min of repeated runs
+    # (1 warmup + 3 timed here, and the driver interleaves whole workers)
+    # so external spikes don't masquerade as scaling behavior
     def one_build():
         t0 = time.perf_counter()
-        mc = mention_cells(extract_mentions(spark, docs), "s2", 10).cache()
+        full = doc_index_full(docs, "s2", 10).cache()
+        mc = mention_cells_from_full(full, "s2", 10)
         n_mentions = mc.count()
-        base = doc_index_base(docs, "s2", 10).cache()
-        ct = cell_totals_from_base(base, "s2", 10).cache()
+        ct = cell_totals_from_base(full, "s2", 10).cache()
         ct.count()
-        tp = token_postings_from_base(base, ct, "s2", 10)
+        tp = token_postings_from_base(full, ct, "s2", 10)
         n_postings = tp.count()
-        return time.perf_counter() - t0, n_mentions, n_postings, mc, ct, base
+        return time.perf_counter() - t0, n_mentions, n_postings, mc, ct, full
 
-    t_w, n_mentions, n_postings, mc, ct, base = one_build()
+    t_w, n_mentions, n_postings, mc, ct, full = one_build()
     builds = []
-    for _ in range(2):
-        mc.unpersist(); ct.unpersist(); base.unpersist()
-        t_b, n_mentions, n_postings, mc, ct, base = one_build()
+    for _ in range(3):
+        ct.unpersist(); full.unpersist()
+        t_b, n_mentions, n_postings, mc, ct, full = one_build()
         builds.append(t_b)
     t_build = min(builds)
 
@@ -99,16 +105,27 @@ def main() -> None:
         worker(int(sys.argv[2]), int(sys.argv[3]))
         return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    results = {}
-    for cores in (N_CORES, N4_CORES):
+    # interleave the two levels three times and take per-level MINs: the
+    # shared host shows ~2x noisy-neighbor swings lasting tens of minutes,
+    # so single windows cannot be trusted for either level
+    results: dict[int, list] = {N_CORES: [], N4_CORES: []}
+    for cores in (N_CORES, N4_CORES, N_CORES, N4_CORES, N_CORES, N4_CORES):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(cores), str(n_docs)],
             capture_output=True, text=True, cwd=REPO, timeout=3600,
         )
         line = [x for x in out.stdout.splitlines() if x.startswith("{")][-1]
-        results[cores] = json.loads(line)
+        results[cores].append(json.loads(line))
         print(line)
-    rn, r4n = results[N_CORES], results[N4_CORES]
+
+    def best(rs):
+        out = dict(rs[0])
+        out["build_sec"] = min(r["build_sec"] for r in rs)
+        out["query_sec"] = min(r["query_sec"] for r in rs)
+        out["build_docs_per_sec"] = round(out["n_docs"] / out["build_sec"], 1)
+        return out
+
+    rn, r4n = best(results[N_CORES]), best(results[N4_CORES])
     eff_build = rn["build_sec"] / (4.0 * r4n["build_sec"])
     eff_query = rn["query_sec"] / (4.0 * r4n["query_sec"])
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -116,7 +133,14 @@ def main() -> None:
 
 Same code, same deterministic synthetic corpus ({n_docs:,} docs, seed-free),
 two parallelism levels (sandbox proxy for N vs 4N executors, per driver
-instruction).  Fresh JVM per level; corpus cached before timing.
+instruction).  Methodology: three fresh-JVM workers per level, INTERLEAVED
+(8,32,8,32,8,32); each worker runs 1 warmup + 3 timed builds and reports its
+min; the table shows the per-level min across workers.  Interleaving + min
+is required because the shared sandbox host exhibits ~2x noisy-neighbor
+slowdowns lasting tens of minutes (measured: identical warm runs 41s vs
+88s an hour apart); shuffle temp is on tmpfs so the sandbox's shared disk
+(which a real cluster would replace with per-node NVMe) does not cap the
+parallel fraction.
 
 | metric | local[{N_CORES}] (N) | local[{N4_CORES}] (4N) |
 |---|---|---|
