@@ -27,6 +27,24 @@ import numpy as np
 np.seterr(divide="ignore", invalid="ignore")  # branchless formulas guard via masks
 
 
+def bbox_from_corners(c: np.ndarray) -> np.ndarray:
+    """(n,k,2) corner lat/lons → (n,4) [min_lat, max_lat, min_lon, max_lon],
+    wrap-aware: a cell straddling the antimeridian gets min_lon > max_lon
+    (the wrap representation), instead of a naive min/max box that excludes
+    its own members (caught by tests/test_bbox_caches.py)."""
+    lat_min, lat_max = c[:, :, 0].min(1), c[:, :, 0].max(1)
+    lon = np.where(c[:, :, 1] >= 180.0, c[:, :, 1] - 360.0, c[:, :, 1])
+    lon_min, lon_max = lon.min(1), lon.max(1)
+    wrap = (lon_max - lon_min) > 180.0
+    if wrap.any():
+        lw = np.where(lon < 0.0, lon + 360.0, lon)
+        wmin, wmax = lw.min(1), lw.max(1)
+        to180 = lambda x: np.where(x > 180.0, x - 360.0, x)  # noqa: E731
+        lon_min = np.where(wrap, to180(wmin), lon_min)
+        lon_max = np.where(wrap, to180(wmax), lon_max)
+    return np.stack([lat_min, lat_max, lon_min, lon_max], axis=1)
+
+
 class Grid:
     name: str = "base"
     max_level: int = 30

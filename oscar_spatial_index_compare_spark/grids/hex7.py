@@ -197,11 +197,9 @@ class Hex7Grid(Grid):
         return np.stack([vy, vx], axis=2)
 
     def bbox(self, ids):
-        v = self.vertices(ids)
-        return np.stack(
-            [v[:, :, 0].min(1), v[:, :, 0].max(1), v[:, :, 1].min(1), v[:, :, 1].max(1)],
-            axis=1,
-        )
+        from .base import bbox_from_corners
+
+        return bbox_from_corners(self.vertices(ids))
 
     def area_km2(self, ids):
         res, q, r = self.decode(ids)

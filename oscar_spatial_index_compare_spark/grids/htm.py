@@ -180,11 +180,9 @@ class HtmGrid(Grid):
         )
 
     def bbox(self, ids):
-        c = self._corners_latlon(ids)
-        return np.stack(
-            [c[:, :, 0].min(1), c[:, :, 0].max(1), c[:, :, 1].min(1), c[:, :, 1].max(1)],
-            axis=1,
-        )
+        from .base import bbox_from_corners
+
+        return bbox_from_corners(self._corners_latlon(ids))
 
     def area_km2(self, ids):
         """Exact spherical-triangle area (Girard excess)."""
@@ -274,9 +272,14 @@ class HtmGrid(Grid):
     # ---- native Spark column hooks (prefix bit math, codegen-resident) ------
     def col_level(self, id_col):
         from pyspark.sql import functions as F
-        # ids < 2^44 → double log2 is exact at the power-of-two boundaries
-        fl = F.floor(F.log2(id_col.cast("double")))
-        return ((fl - F.lit(3)) / F.lit(2)).cast("int")
+        # exact integer math: a level-k id lies in [8·4^k, 16·4^k), so a
+        # descending comparison chain over the 21 boundaries is precise even
+        # at the all-zero child chain 8<<2k where floor(log2(double)) can
+        # return k-1 (JVM Math.log is only 1-ulp accurate; ADVICE r02)
+        out = F.lit(0)
+        for k in range(1, MAX_LEVEL + 1):  # outermost test = deepest level
+            out = F.when(id_col >= F.lit(8 << (2 * k)), F.lit(k)).otherwise(out)
+        return out.cast("int")
 
     def col_parent(self, id_col, res: int, from_res: int | None = None):
         from pyspark.sql import functions as F

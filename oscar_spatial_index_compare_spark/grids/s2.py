@@ -235,11 +235,9 @@ class S2Grid(Grid):
         return np.degrees(np.arcsin(np.clip(z / r, -1, 1))), np.degrees(np.arctan2(y, x))
 
     def bbox(self, ids):
-        c = self._corners_latlon(ids)
-        return np.stack(
-            [c[:, :, 0].min(1), c[:, :, 0].max(1), c[:, :, 1].min(1), c[:, :, 1].max(1)],
-            axis=1,
-        )
+        from .base import bbox_from_corners
+
+        return bbox_from_corners(self._corners_latlon(ids))
 
     def area_km2(self, ids):
         """Average cell area at the cell's level (S2 AverageArea convention)."""

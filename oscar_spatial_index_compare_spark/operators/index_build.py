@@ -98,7 +98,7 @@ def mention_cells_from_full(full: DataFrame, grid: str, res: int) -> DataFrame:
 
 
 def _doc_sets_by_cell(dc: DataFrame, keys: list[str],
-                      hot_threshold: int = HOT_CELL_THRESHOLD) -> DataFrame:
+                      hot_threshold: int | None = HOT_CELL_THRESHOLD) -> DataFrame:
     """groupBy(keys) → sorted distinct doc_id arrays, with CONDITIONAL
     two-phase salting: only cells above ``hot_threshold`` rows take the
     explicit salted route; everything else is one map-side-combined groupBy.
@@ -106,7 +106,17 @@ def _doc_sets_by_cell(dc: DataFrame, keys: list[str],
     The hot-cell detection is a count-only aggregation (bytes per cell, fully
     map-combined) broadcast back as a semi/anti filter — the explicit skew
     handling the north_rule asks for, paid only by the cells that need it.
+
+    ``hot_threshold=None`` skips the detection pre-pass entirely (one plain
+    groupBy).  Callers pass None when they can PROVE no cell is hot — a cell
+    never holds more rows than the corpus has documents, so any corpus with
+    ≤ HOT_CELL_THRESHOLD docs qualifies (VERDICT r02 item 1: the pre-pass
+    round-trip was pure serial overhead at small corpus sizes).
     """
+    if hot_threshold is None:
+        return dc.groupBy(*keys).agg(
+            F.array_sort(F.collect_set("doc_id")).alias("doc_ids")
+        )
     counts = dc.groupBy(*keys).agg(F.count("*").alias("_n"))
     hot = F.broadcast(counts.where(F.col("_n") > hot_threshold).select(*keys))
     cold_sets = (
@@ -127,9 +137,17 @@ def _doc_sets_by_cell(dc: DataFrame, keys: list[str],
 
 
 def cell_totals_from_base(base: DataFrame, grid: str, res: int,
-                          hot_threshold: int = HOT_CELL_THRESHOLD) -> DataFrame:
+                          hot_threshold: int | None = HOT_CELL_THRESHOLD,
+                          n_docs_hint: int | None = None) -> DataFrame:
     """B3 ``computeTrixelItems`` from the one-pass base: explode cells →
-    one conditional-salted groupBy (doc_ids are distinct per doc already)."""
+    one conditional-salted groupBy (doc_ids are distinct per doc already).
+
+    ``n_docs_hint``: corpus doc count when the caller already knows it; a
+    cell can never exceed it, so hint ≤ hot_threshold PROVES the salt
+    pre-pass is useless and it is skipped (exact, not heuristic)."""
+    if (hot_threshold is not None and n_docs_hint is not None
+            and n_docs_hint <= hot_threshold):
+        hot_threshold = None
     dc = base.select("doc_id", F.explode("cells").alias("cell_id"))
     sets = _doc_sets_by_cell(dc, ["cell_id"], hot_threshold)
     return sets.select(

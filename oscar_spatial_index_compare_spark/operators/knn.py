@@ -82,12 +82,19 @@ def _partial_topk(per_doc: DataFrame, max_k: int) -> DataFrame:
 
 
 # populated-cell doc counts collected once per (table, grid, res) to seed
-# per-query radii; above the cap seeding is skipped (radii start at 2)
+# per-query radii; above the cap seeding is skipped (radii start at 2).
+# Each entry HOLDS the source DataFrame: keys embed id(df), and a live
+# reference guarantees CPython never reuses that id for a different table
+# (ADVICE/VERDICT r02: id()-aliasing after GC returned another corpus's
+# counts).  Bounded FIFO — an evicted entry's id can recycle safely because
+# the entry is gone.
 MAX_DRIVER_COUNT_CELLS = 2_000_000
-_COUNTS_CACHE: dict[tuple, dict[int, int] | None] = {}
+_COUNTS_CACHE: dict[tuple, tuple[DataFrame, dict[int, int] | None]] = {}
+_COUNTS_CACHE_CAP = 64
 
 
-def _cell_doc_counts(probe: DataFrame, key: tuple) -> dict[int, int] | None:
+def _cell_doc_counts(probe: DataFrame, source: DataFrame,
+                     key: tuple) -> dict[int, int] | None:
     if key not in _COUNTS_CACHE:
         rows = (
             probe.groupBy("cell_id")
@@ -95,11 +102,14 @@ def _cell_doc_counts(probe: DataFrame, key: tuple) -> dict[int, int] | None:
             .limit(MAX_DRIVER_COUNT_CELLS + 1)
             .collect()
         )
+        if len(_COUNTS_CACHE) >= _COUNTS_CACHE_CAP:
+            _COUNTS_CACHE.pop(next(iter(_COUNTS_CACHE)))
         _COUNTS_CACHE[key] = (
+            source,
             None if len(rows) > MAX_DRIVER_COUNT_CELLS
-            else {int(r.cell_id): int(r.n) for r in rows}
+            else {int(r.cell_id): int(r.n) for r in rows},
         )
-    return _COUNTS_CACHE[key]
+    return _COUNTS_CACHE[key][1]
 
 
 def knn_docs(
@@ -145,7 +155,7 @@ def knn_docs(
             .select("query_id", "doc_id", "dist_m", "rank", "k")
         )
 
-    counts = _cell_doc_counts(probe, (id(mcells), grid, res))
+    counts = _cell_doc_counts(probe, mcells, (id(mcells), grid, res))
     if counts is None:
         # populated-cell list too large for the driver (very deep res at
         # 100 TB): planar ring expansion with the conservative km bound
@@ -200,7 +210,10 @@ def knn_docs(
     final_rows = []
     for qid, qlat, qlon, k in queries:
         if by_q.get(qid, 0) >= k:
-            d_km = kth_m[qid] / 1000.0
+            # +0.5 m slack: kth dist is meter-rounded, so a doc tying at the
+            # same rounded dist_m just beyond the raw bound must stay in the
+            # candidate set for the doc_id tie-break (ADVICE r02)
+            d_km = kth_m[qid] / 1000.0 + 0.0005
             mask = haversine_np(qlat, qlon, clat, clon) - rad_km <= d_km
         else:
             mask = np.ones(len(cells), bool)  # < k found: scan all populated

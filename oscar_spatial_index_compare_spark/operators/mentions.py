@@ -9,7 +9,8 @@ explode unigrams+bigrams, then a **broadcast hash join** against the ~200-row
 gazetteer.  At 10^12 docs this is shuffle-free: the only wide op downstream
 is the groupBy that builds postings.  Extraction is a pure function of
 ``text`` → byte-identical mention sets across runs and parallelism levels
-(north_rule per-row invariant; asserted in tests/test_determinism.py).
+(north_rule per-row invariant; asserted in
+tests/test_infra.py::test_extraction_determinism_across_parallelism).
 """
 
 from __future__ import annotations

@@ -42,7 +42,12 @@ _COVERING_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 # at 100 TB take the distributed path.
 MAX_DRIVER_POP_CELLS = 4_000_000
 
-_POP_CACHE: dict[tuple, np.ndarray | None] = {}
+# Entries HOLD the source DataFrame: keys embed id(df), and a live reference
+# guarantees CPython never reuses that id for a different table (ADVICE/
+# VERDICT r02 aliasing hazard).  Bounded FIFO — an evicted entry's id can
+# recycle safely because the entry is gone.
+_POP_CACHE: dict[tuple, tuple[DataFrame, np.ndarray | None]] = {}
+_POP_CACHE_CAP = 64
 
 
 def cached_covering(grid_name: str, poly: np.ndarray, res: int):
@@ -69,22 +74,30 @@ def cells_df(spark: SparkSession, arr, colname: str) -> DataFrame:
     )
 
 
-def populated_cells(df: DataFrame, key: tuple) -> np.ndarray | None:
+def populated_cells(df: DataFrame, key: tuple,
+                    source: DataFrame | None = None) -> np.ndarray | None:
     """Sorted distinct ``cell_id`` values of ``df`` — the engine's analog of
     the reference intersecting a covering with its cell list
     (``src/OscarSearchSgIndex.cpp:117-130``).  Memoized per (table, grid,
     res); returns None above MAX_DRIVER_POP_CELLS (distributed fallback).
+    ``source`` is the DataFrame whose id() is embedded in ``key`` (held
+    alive by the entry to keep the key valid); defaults to ``df``.
     """
     if key not in _POP_CACHE:
         rows = (
             df.select("cell_id").dropDuplicates()
             .limit(MAX_DRIVER_POP_CELLS + 1).collect()
         )
+        if len(_POP_CACHE) >= _POP_CACHE_CAP:
+            _POP_CACHE.pop(next(iter(_POP_CACHE)))
         if len(rows) > MAX_DRIVER_POP_CELLS:
-            _POP_CACHE[key] = None
+            _POP_CACHE[key] = (source if source is not None else df, None)
         else:
-            _POP_CACHE[key] = np.sort(np.array([r[0] for r in rows], np.int64))
-    return _POP_CACHE[key]
+            _POP_CACHE[key] = (
+                source if source is not None else df,
+                np.sort(np.array([r[0] for r in rows], np.int64)),
+            )
+    return _POP_CACHE[key][1]
 
 
 def expand_full_to_populated(
@@ -123,7 +136,7 @@ def region_query_docs(
     full, boundary = cached_covering(grid, poly, res)
 
     probe = mcells.where((F.col("grid") == grid) & (F.col("res") == res))
-    pop = populated_cells(probe, (id(mcells), grid, res))
+    pop = populated_cells(probe, (id(mcells), grid, res), source=mcells)
 
     parts: list[DataFrame] = []
     if pop is not None:

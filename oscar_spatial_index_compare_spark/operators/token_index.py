@@ -112,8 +112,14 @@ def match_tokens(all_tokens: list[str], pattern: str, qt: str) -> list[str]:
     raise ValueError(qt)
 
 
+# trie-depth cap of materialize_qt_postings: keys longer than this are NOT
+# in the payload table, so a leaf whose pattern exceeds it must take the
+# dictionary / distributed-filter path instead (ADVICE r02)
+DEFAULT_MAX_KEY_LEN = 12
+
+
 def materialize_qt_postings(tp_exact: DataFrame, qt: str,
-                            max_key_len: int = 12) -> DataFrame:
+                            max_key_len: int = DEFAULT_MAX_KEY_LEN) -> DataFrame:
     """Materialize a non-exact query-type payload table from exact postings
     — the reference's per-trie-node payloads
     (``include/hic/OscarSearchSgIndex.h:29-35``), Spark-style.

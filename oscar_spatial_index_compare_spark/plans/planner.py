@@ -29,7 +29,7 @@ from ..operators.cqr import (
     cqr_symdiff,
     cqr_union,
 )
-from ..operators.token_index import match_tokens, resolve_qt
+from ..operators.token_index import DEFAULT_MAX_KEY_LEN, match_tokens, resolve_qt
 from ..sources.regions import region_by_id, region_by_name
 from .optree import Node, parse
 
@@ -175,9 +175,18 @@ class Planner:
             # unavailable (OscarSearchWithSg.cpp:71-86; VERDICT r01 item 4)
             qt = resolve_qt(qt, ctx.available_qts)
             if qt != "exact" and ctx.qt_tables and qt in ctx.qt_tables:
-                # materialized payload: one key-equality row group per cell
-                tp = ctx.qt_tables[qt].where(F.col("token") == F.lit(pat))
-                return tp.select("cell_id", "is_fm", "doc_ids")
+                # materialized payload: one key-equality row group per cell.
+                # Entries are df or (df, max_key_len); a pattern longer than
+                # the table's trie-depth cap is NOT in the payload — fall
+                # through to the dictionary/distributed path (ADVICE r02:
+                # the capped lookup silently returned empty)
+                entry = ctx.qt_tables[qt]
+                tbl, cap = (
+                    entry if isinstance(entry, tuple) else (entry, DEFAULT_MAX_KEY_LEN)
+                )
+                if len(pat) <= cap:
+                    tp = tbl.where(F.col("token") == F.lit(pat))
+                    return tp.select("cell_id", "is_fm", "doc_ids")
             if ctx.tokens is not None:
                 matched = match_tokens(ctx.tokens, pat, qt)
                 if not matched:
@@ -257,7 +266,7 @@ class Planner:
         spark = ctx.spark
         parts: list[DataFrame] = []
         pop = populated_cells(
-            ctx.ctotals, (id(ctx.ctotals), ctx.grid, ctx.res)
+            ctx.ctotals, (id(ctx.ctotals), ctx.grid, ctx.res), source=ctx.ctotals
         )
         fulls = None
         if pop is not None:

@@ -10,7 +10,8 @@ reproduce every byte.
 
 Per-row invariant (north_rule): ``text`` is carried through untouched, so
 sha256(text) per url is trivially byte-identical across runs and parallelism
-levels; tests/test_determinism.py asserts it.
+levels; tests/test_infra.py::test_extraction_determinism_across_parallelism
+asserts it.
 """
 
 from __future__ import annotations

@@ -39,3 +39,20 @@ def test_materialized_table_shape(engine):
     assert tp.columns == ctx.tpostings.columns
     row = tp.where("token = 'jo'").limit(1).collect()
     assert row and row[0].qt == "prefix"
+
+
+def test_pattern_longer_than_key_cap_falls_back(engine):
+    """A pattern longer than the payload table's trie-depth cap is absent
+    from the table; the planner must take the dictionary path instead of
+    silently returning empty (ADVICE r02)."""
+    import dataclasses
+
+    ctx = engine.context("zxy", 9)
+    # cap=3 forces every 4+-char pattern out of the materialized table
+    capped = {"prefix": (materialize_qt_postings(ctx.tpostings, "prefix", 3), 3)}
+    base = Planner(ctx)
+    mat = Planner(dataclasses.replace(ctx, qt_tables=capped))
+    for q in ("spar*", "jo*"):
+        a = {r.doc_id for r in base.docs(q).collect()}
+        b = {r.doc_id for r in mat.docs(q).collect()}
+        assert a == b and (q != "spar*" or a), q
