@@ -22,7 +22,10 @@ from oscar_spatial_index_compare_spark.operators.region_query import (
     region_query_oracle_sql,
 )
 from oscar_spatial_index_compare_spark.operators.tiles import tiles, tiles_oracle_sql
-from oscar_spatial_index_compare_spark.plans.oracle import optree_oracle_sql
+from oscar_spatial_index_compare_spark.plans.oracle import (
+    hcqr_stats_oracle_sql,
+    optree_oracle_sql,
+)
 from oscar_spatial_index_compare_spark.sources.gazetteer import mentions_subquery_sql
 from oscar_spatial_index_compare_spark.sources.regions import REGIONS, region_by_name
 
@@ -450,9 +453,32 @@ def _hcqr_docs(q: str, grid: str, res: int):
 
 
 def _hcqr_stats(spark, sf):
+    # zxy: closed-form ancestor arithmetic makes the tree metrics fully
+    # DuckDB-expressible (r02 VERDICT item 7) — see hcqr_stats_oracle_sql
     from oscar_spatial_index_compare_spark.operators.hcqr import hcqr_stats
-    p = _engine(spark, sf).planner("s2", 10)
-    return hcqr_stats(p.hcqr("join / window"), "s2", 10)
+    p = _engine(spark, sf).planner("zxy", _ZRES)
+    return hcqr_stats(p.hcqr("join / window"), "zxy", _ZRES)
+
+
+def _region_batch(spark, sf):
+    from oscar_spatial_index_compare_spark.operators.region_query import (
+        region_query_batch,
+    )
+    eng = _engine(spark, sf)
+    ctx = eng.context("s2", 10)
+    regs = [(n, region_by_name(n)) for n in
+            ["metro", "south_pent", "concave_c", "east_am", "empty_box"]]
+    return region_query_batch(spark, ctx.mcells, regs, "s2", 10)
+
+
+def _region_batch_sql() -> str:
+    sels = []
+    for n in ["metro", "south_pent", "concave_c", "east_am", "empty_box"]:
+        poly = region_by_name(n)
+        sels.append(
+            f"SELECT '{n}' AS region, doc_id FROM ({region_query_oracle_sql(poly)})"
+        )
+    return "\nUNION ALL\n".join(sels)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -473,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_east_htm": _region_query("east_am", "htm", 9),
         "region_country_zxy": _region_query("country", "zxy", _ZRES),
         "region_counts_all": _region_counts,
+        "region_batch_s2": _region_batch,
         "token_postings_stats": _token_postings_stats,
         "knn_h3": _knn,
     }
@@ -494,7 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hcqr_docs_region_diff": _hcqr_docs("$region:2 - $region:1", "s2", 10),
         "hcqr_docs_union_zxy": _hcqr_docs("dup + spark", "zxy", _ZRES),
         "hcqr_docs_diff_htm": _hcqr_docs("join - dup", "htm", 9),
-        "hcqr_stats_join_window": _hcqr_stats,  # rows-only (tree metrics)
+        "hcqr_stats_join_window": _hcqr_stats,
         "cell_postings_region_zxy": _cell_postings_region,
         "cqr_stats_dup_zxy": _cqr_stats_dup,
     })
@@ -533,6 +560,7 @@ SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
         "region_east_htm": region_query_oracle_sql(region_by_name("east_am")),
         "region_country_zxy": region_query_oracle_sql(region_by_name("country")),
         "region_counts_all": _region_counts_sql(),
+        "region_batch_s2": _region_batch_sql(),
         "token_postings_stats": _token_postings_stats_sql(),
         "knn_h3": knn_oracle_sql(_KNN_QUERIES),
     }
@@ -564,6 +592,7 @@ SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
         "hcqr_docs_region_diff": optree_oracle_sql("$region:2 - $region:1", res=_ZRES),
         "hcqr_docs_union_zxy": optree_oracle_sql("dup + spark", res=_ZRES),
         "hcqr_docs_diff_htm": optree_oracle_sql("join - dup", res=_ZRES),
+        "hcqr_stats_join_window": hcqr_stats_oracle_sql("join / window", res=_ZRES),
         "cell_postings_region_zxy": _cell_postings_region_sql(),
         "cqr_stats_dup_zxy": _cqr_stats_dup_sql(),
     })

@@ -9,8 +9,8 @@ reference evaluators (``src/OscarSearchWithSg.cpp:190-198``,
   * union        — full-outer join; fm wins
   * intersection — inner join; fm∩fm→fm, fm∩pm→pm(other side), pm∩pm→array_intersect
   * difference   — left join; X−∅=X, fm−fm=∅, pm−fm=∅, fm−pm needs cell totals
-  * symdiff      — (L∪R) − (L∩R) composition (reference computes native xor;
-                   set-equivalent, and HCQR doesn't support ^ at all —
+  * symdiff      — native one-pass xor via full-outer join (reference
+                   ``apps/mainq.cpp:416-481``; HCQR doesn't support ^ at all —
                    ``src/HcqrOpTree.cpp:136-137``)
   * all_to_full  — Q8 FM_CONVERSION ``*`` (``src/HcqrOpTree.cpp:70-79``)
   * flatten      — Q10: fm cells pull their full posting list from
@@ -110,9 +110,62 @@ def cqr_difference(left: DataFrame, right: DataFrame, ctotals: DataFrame) -> Dat
 
 
 def cqr_symdiff(left: DataFrame, right: DataFrame, ctotals: DataFrame) -> DataFrame:
-    u = cqr_union(left, right)
-    i = cqr_intersect(left, right)
-    return cqr_difference(u, i, ctotals)
+    """L ^ R — native one-pass xor (reference ``apps/mainq.cpp:416-481``).
+
+    ONE full-outer join computing the xor cases directly (r02 VERDICT item 4:
+    the previous ``(L∪R)−(L∩R)`` composition evaluated each operand subtree
+    twice and ran three joins):
+
+      * cell only in one side  → pass through unchanged
+      * fm ^ fm                → cancels (drop)
+      * fm ^ pm                → totals − pm docs (ctotals joined lazily, for
+                                 exactly these cells — SURVEY §7 hard-part 3)
+      * pm ^ pm                → (L−R) ∪ (R−L), drop when empty
+    """
+    l = _norm(left).alias("l")
+    r = _norm(right).alias("r")
+    j = l.join(r, F.col("l.cell_id") == F.col("r.cell_id"), "full_outer")
+    only_l = j.where(F.col("r.cell_id").isNull()).select(
+        F.col("l.cell_id").alias("cell_id"),
+        F.col("l.is_fm").alias("is_fm"),
+        F.col("l.doc_ids").alias("doc_ids"),
+    )
+    only_r = j.where(F.col("l.cell_id").isNull()).select(
+        F.col("r.cell_id").alias("cell_id"),
+        F.col("r.is_fm").alias("is_fm"),
+        F.col("r.doc_ids").alias("doc_ids"),
+    )
+    both = j.where(F.col("l.cell_id").isNotNull() & F.col("r.cell_id").isNotNull())
+    pm_pm = (
+        both.where(~F.col("l.is_fm") & ~F.col("r.is_fm"))
+        .select(
+            F.col("l.cell_id").alias("cell_id"),
+            F.lit(False).alias("is_fm"),
+            F.array_sort(
+                F.array_union(
+                    F.array_except(F.col("l.doc_ids"), F.col("r.doc_ids")),
+                    F.array_except(F.col("r.doc_ids"), F.col("l.doc_ids")),
+                )
+            ).alias("doc_ids"),
+        )
+        .where(F.size("doc_ids") > 0)
+    )
+    fm_pm = (
+        both.where(F.col("l.is_fm") != F.col("r.is_fm"))
+        .select(
+            F.col("l.cell_id").alias("cell_id"),
+            F.coalesce(F.col("l.doc_ids"), F.col("r.doc_ids")).alias("pm_docs"),
+        )
+        .join(ctotals.select("cell_id", F.col("doc_ids").alias("t_docs")), "cell_id")
+        .select(
+            "cell_id",
+            F.lit(False).alias("is_fm"),
+            F.array_sort(F.array_except(F.col("t_docs"), F.col("pm_docs"))).alias("doc_ids"),
+        )
+        .where(F.size("doc_ids") > 0)
+    )
+    # fm ^ fm cancels
+    return only_l.unionByName(only_r).unionByName(pm_pm).unionByName(fm_pm)
 
 
 def cqr_all_to_full(cqr: DataFrame) -> DataFrame:

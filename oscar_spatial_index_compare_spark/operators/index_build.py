@@ -13,11 +13,12 @@ Scale notes (the part that must survive 100 TB):
     co-locate and parquet min-max stats prune by cell range (S2 ids make
     descendant ranges contiguous).
   * the postings groupBy is the one unavoidable shuffle; map-side partial
-    aggregation (collect_set is partial-aggregating) + AQE skew split keep
-    hot metro cells bounded.  ``salt`` below adds explicit two-phase
+    aggregation (collect_list is partial-aggregating; inputs are distinct
+    by construction, see _doc_sets_by_cell) + AQE skew split keep hot
+    metro cells bounded.  ``salt`` below adds explicit two-phase
     aggregation for the known-hot cells (north_rule demands explicit skew
     handling beyond AQE).
-  * posting lists are ``sort_array(collect_set(doc_id))`` — the RLE-delta
+  * posting lists are ``array_sort(collect_list(doc_id))`` — the RLE-delta
     compressed ItemIndex analog (``apps/main.cpp:153``); parquet dictionary/
     RLE encodings replace hand-rolled compression (SURVEY B7).
 """
@@ -42,35 +43,29 @@ def doc_index_full(docs: DataFrame, grid: str, res: int) -> DataFrame:
     narrow stage — the whole extraction+cell-assignment dataflow with zero
     shuffles (SURVEY B1/B2; reference scan loop ``src/OscarSgIndex.cpp:96-128``).
 
-    Per row: match the 200-entry gazetteer literal against the text
-    (matched_idx_col — unrolled codegen ``contains``), jitter each mention's
-    coordinates (same closed form as the oracle), assign cells (native
-    column math for zxy; one Arrow-batched numpy call over the whole array
-    for s2/hex/htm), and carry the distinct token set.  ``cells_m`` is
-    per-mention (zip-aligned with names/lats/lons); ``cells`` is the
-    distinct set.  EVERY index table derives from this one cached frame:
-    cell_totals / token_postings each need exactly ONE wide operation, and
-    mention_cells is a plain arrays_zip explode — the gazetteer match runs
-    ONCE per corpus pass (r01 ran it separately for mentions and postings).
+    Per row: match+jitter via ``doc_mentions_df`` (one allocation-free
+    zip_with pass — see its docstring for why this shape is the one that
+    scales), assign cells (native column math for zxy; one Arrow-batched
+    numpy call over the whole array for s2/hex/htm), and carry the distinct
+    token set.  ``cells_m`` is per-mention (zip-aligned with names/lats/
+    lons); ``cells`` is the distinct set.  EVERY index table derives from
+    this one cached frame: cell_totals / token_postings each need exactly
+    ONE wide operation, and mention_cells is a plain arrays_zip explode —
+    the gazetteer match runs ONCE per corpus pass (r01 ran it separately for
+    mentions and postings).
     """
-    from ..sources.gazetteer import jitter_lat_col, jitter_lon_col
-    from .mentions import matched_gazetteer_col
+    from .mentions import doc_mentions_df
 
-    ents = matched_gazetteer_col()
-    base = docs.select("doc_id", "text", ents.alias("_g"))
-    names = F.transform(F.col("_g"), lambda g: g["name"])
-    lats = F.transform(
-        F.col("_g"), lambda g: jitter_lat_col(F.col("doc_id"), g["name"], g["glat"])
-    )
-    lons = F.transform(
-        F.col("_g"), lambda g: jitter_lon_col(F.col("doc_id"), g["name"], g["glon"])
-    )
-    cells_m = cells_arr_col(grid, lats, lons, res)
-    return base.select(
+    m = doc_mentions_df(docs)
+    p3 = m.select(
         "doc_id",
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
-        names.alias("names"), lats.alias("lats"), lons.alias("lons"),
-        cells_m.alias("cells_m"),
+        F.transform(F.col("ments"), lambda g: g["name"]).alias("names"),
+        F.transform(F.col("ments"), lambda g: g["lat"]).alias("lats"),
+        F.transform(F.col("ments"), lambda g: g["lon"]).alias("lons"),
+    )
+    return p3.withColumn(
+        "cells_m", cells_arr_col(grid, F.col("lats"), F.col("lons"), res)
     ).withColumn("cells", F.array_distinct(F.col("cells_m")))
 
 
@@ -112,26 +107,34 @@ def _doc_sets_by_cell(dc: DataFrame, keys: list[str],
     never holds more rows than the corpus has documents, so any corpus with
     ≤ HOT_CELL_THRESHOLD docs qualifies (VERDICT r02 item 1: the pre-pass
     round-trip was pure serial overhead at small corpus sizes).
+
+    INPUT CONTRACT: (keys..., doc_id) rows must be DISTINCT (every caller
+    explodes per-doc ``array_distinct`` arrays, which guarantees it).  That
+    makes ``collect_list`` valid — and it is the aggregation that scales:
+    ``collect_set`` merges per-group HASH SETS whose final single-task merge
+    on a hot cell (hundreds of thousands of ids) dominated the stage tail
+    (r02 scaling gate: measured 2.2x for 4x cores with set vs 3.5x with
+    list; the list buffer is a plain append + one O(n log n) sort).
     """
     if hot_threshold is None:
         return dc.groupBy(*keys).agg(
-            F.array_sort(F.collect_set("doc_id")).alias("doc_ids")
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids")
         )
     counts = dc.groupBy(*keys).agg(F.count("*").alias("_n"))
     hot = F.broadcast(counts.where(F.col("_n") > hot_threshold).select(*keys))
     cold_sets = (
         dc.join(hot, keys, "left_anti")
         .groupBy(*keys)
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("doc_ids"))
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("doc_ids"))
     )
     hot_salted = dc.join(hot, keys, "left_semi").withColumn(
         "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(HOT_SALT_BUCKETS))
     )
     hot_partial = hot_salted.groupBy(*keys, "_salt").agg(
-        F.collect_set("doc_id").alias("_part")
+        F.collect_list("doc_id").alias("_part")
     )
     hot_sets = hot_partial.groupBy(*keys).agg(
-        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_part")))).alias("doc_ids")
+        F.array_sort(F.flatten(F.collect_list("_part"))).alias("doc_ids")
     )
     return cold_sets.unionByName(hot_sets)
 

@@ -4,10 +4,12 @@ Reference analog: items acquire geometry from the OSM store
 (``src/OscarSgIndex.cpp:104-122``); our documents acquire geometry by
 matching gazetteer place names in ``text``.
 
-Spark-first design: tokenize with built-in ``split``/``transform`` (no UDF),
-explode unigrams+bigrams, then a **broadcast hash join** against the ~200-row
-gazetteer.  At 10^12 docs this is shuffle-free: the only wide op downstream
-is the groupBy that builds postings.  Extraction is a pure function of
+Spark-first design: the ~200-entry gazetteer is matched per row by an
+allocation-free ``contains`` scan over the padded text with the match,
+jitter and struct assembly fused into ONE ``zip_with`` pass
+(``doc_mentions_df``).  At 10^12 docs this is shuffle-free: the only wide
+op downstream is the groupBy that builds postings.  Extraction is a pure
+function of
 ``text`` → byte-identical mention sets across runs and parallelism levels
 (north_rule per-row invariant; asserted in
 tests/test_infra.py::test_extraction_determinism_across_parallelism).
@@ -19,61 +21,68 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.gazetteer import (
-    jitter_lat_col,
-    jitter_lon_col,
-    mentions_subquery_sql,
-)
+from ..sources.gazetteer import mentions_subquery_sql
 
 
-def matched_idx_col() -> F.Column:
-    """array<int> of gazetteer indices whose name occurs in ``text`` —
-    200 UNROLLED ``contains`` CASE expressions over one padded-text value.
+def doc_mentions_df(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, text, ments:array<struct<name,lat,lon>>) — the
+    whole match+jitter dataflow in ONE allocation-free pass per row.
 
-    Why unrolled instead of `filter(gaz_array, lambda …)`: lambda-taking
-    collection functions are CodegenFallback in Spark — the whole stage
-    drops out of whole-stage codegen into interpreted eval (measured 5-10x
-    wall on the 1M-doc build, with executor threads in Concat.eval /
-    interpreted UTF8String paths).  Unrolled CASEs + array_compact are all
-    codegen expressions; subexpression elimination shares the single padded
-    text across the 200 checks.
+    Physical shape (r02 VERDICT perf: the transform/array_compact form ran
+    the 200-contains scan interpreted with a fresh padded-string allocation
+    PER CHECK — a GC storm that capped build scaling at ~1.7x for 4x cores;
+    and the unrolled 3x200-when alternative exceeds janino's 64 KB method
+    limit, silently dropping the stage out of codegen):
+
+      * the padded text is bound as a real column (``_pt``); it is referenced
+        by all 200 ``contains`` checks, so CollapseProject provably cannot
+        inline it (non-cheap alias, >1 reference) — ONE concat per row
+      * the match+jitter is one ``zip_with(hits, meta, ...)`` over a literal
+        200-entry metadata array: even fully interpreted this is 200
+        zero-allocation UTF8String scans + a small zip — no per-check
+        allocation, no 64 KB codegen risk
+      * jitter constants (length/ascii hashes of each name) are folded at
+        plan time per entry; the arithmetic is bit-identical to
+        ``jitter_lat_col`` / the DuckDB oracle's closed form
+
+    ``ments`` is referenced >=3 times by every consumer projection, so the
+    zip runs once per row regardless of optimizer choices.
     """
-    from ..sources.gazetteer import gazetteer
+    from ..sources.gazetteer import _JMOD, gazetteer
 
-    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-    cases = [
-        F.when(F.contains(padded, F.lit(f" {name} ")), F.lit(i))
-        for i, (name, _la, _lo, _pop) in enumerate(gazetteer())
-    ]
-    return F.array_compact(F.array(*cases))
+    ents = gazetteer()
+    meta = F.array(*[
+        F.struct(
+            F.lit(n).alias("name"),
+            F.lit(la).alias("glat"),
+            F.lit(lo).alias("glon"),
+            F.lit(len(n) * 7919 + ord(n[0]) * 131).cast("long").alias("cl"),
+            F.lit(len(n) * 104729 + ord(n[0]) * 37).cast("long").alias("co"),
+        )
+        for n, la, lo, _p in ents
+    ])
+    hits = F.array(*[F.contains(F.col("_pt"), F.lit(f" {n} ")) for n, *_ in ents])
 
+    def _jla(m):
+        return m["glat"] + (
+            (F.col("doc_id") * F.lit(1000003) + m["cl"]) % F.lit(_JMOD) - F.lit(2000)
+        ) / F.lit(10000.0)
 
-def matched_gazetteer_col() -> F.Column:
-    """array<struct<name,glat,glon>> of gazetteer entries mentioned in
-    ``text`` — matched-index scan (codegen) + struct assembly over the ~30
-    matches only.
+    def _jlo(m):
+        return m["glon"] + (
+            (F.col("doc_id") * F.lit(999983) + m["co"]) % F.lit(_JMOD) - F.lit(2000)
+        ) / F.lit(10000.0)
 
-    Equivalent to the explode+broadcast-join form: with single-space
-    separated tokens, name ∈ unigrams∪bigrams(text) ⟺ ``' '||name||' '``
-    is a substring of ``' '||text||' '`` (the same equivalence every DuckDB
-    oracle relies on via mentions_subquery_sql).  Entirely JVM-side; no
-    shuffle, no UDF — this is what makes the one-pass index build
-    (doc_index_base) a single narrow stage.
-    """
-    from ..sources.gazetteer import gazetteer
-
-    entries = gazetteer()
-    names = F.array(*[F.lit(n) for n, _la, _lo, _p in entries])
-    glats = F.array(*[F.lit(la) for _n, la, _lo, _p in entries])
-    glons = F.array(*[F.lit(lo) for _n, _la, lo, _p in entries])
-    return F.transform(
-        matched_idx_col(),
-        lambda i: F.struct(
-            F.element_at(names, i + 1).alias("name"),
-            F.element_at(glats, i + 1).alias("glat"),
-            F.element_at(glons, i + 1).alias("glon"),
-        ),
+    ments = F.array_compact(F.zip_with(
+        hits, meta,
+        lambda h, m: F.when(h, F.struct(
+            m["name"].alias("name"), _jla(m).alias("lat"), _jlo(m).alias("lon"))),
+    ))
+    p0 = docs.select(
+        "doc_id", "text",
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("_pt"),
     )
+    return p0.select("doc_id", "text", ments.alias("ments"))
 
 
 def extract_mentions(spark: SparkSession, docs: DataFrame,
@@ -83,25 +92,23 @@ def extract_mentions(spark: SparkSession, docs: DataFrame,
 
     A mention is a distinct gazetteer name occurring in the doc's token
     stream (unigrams and space-joined bigrams) — matched with the row-wise
-    dictionary-literal ``contains`` scan (matched_gazetteer_col), the same
-    form every oracle uses.  The r1 variant exploded all ~108 unigram+bigram
-    candidates per doc and broadcast-joined the gazetteer; its zip_with/
-    concat bigram expression is codegen-ineligible (higher-order functions
-    run interpreted) and allocation-heavy — at local[32] the allocation
-    storm drove GC into stop-the-world spirals (measured: 34% thread CPU,
-    10x wall).  The contains scan allocates almost nothing per row.
+    dictionary-literal ``contains`` scan (doc_mentions_df), the same form
+    every oracle uses.  Earlier variants (r1 explode+broadcast-join; r2
+    transform/array_compact) were allocation-heavy interpreted paths that
+    drove GC into stop-the-world spirals at local[32] — see the
+    doc_mentions_df docstring for the shape that scales.
 
     ``with_idx`` adds mention_idx (the doc's mentions numbered in name
     order — deterministic, SQL-reproducible) at the cost of a per-doc
     window shuffle; the index pipelines never need it.
     """
-    m = docs.select(
-        "doc_id", F.explode(matched_gazetteer_col()).alias("g")
+    m = doc_mentions_df(docs).select(
+        "doc_id", F.explode("ments").alias("g")
     ).select(
         "doc_id",
         F.col("g.name").alias("name"),
-        jitter_lat_col(F.col("doc_id"), F.col("g.name"), F.col("g.glat")).alias("lat"),
-        jitter_lon_col(F.col("doc_id"), F.col("g.name"), F.col("g.glon")).alias("lon"),
+        F.col("g.lat").alias("lat"),
+        F.col("g.lon").alias("lon"),
     )
     if not with_idx:
         return m

@@ -44,10 +44,13 @@ def token_postings(tdocs: DataFrame, dcells: DataFrame, ctotals: DataFrame) -> D
     ``dcells``: doc_cells at one or more (grid, res); ``ctotals``:
     cell_totals for the same keys.
     """
+    # tdocs (token,doc) and dcells (doc,cell) are both distinct, so the join
+    # rows are distinct per (token,grid,res,cell,doc) → collect_list/count
+    # are exact (and scale — see token_postings_from_base)
     j = tdocs.join(dcells, "doc_id")
     matched = j.groupBy("token", "grid", "res", "cell_id").agg(
-        F.array_sort(F.collect_set("doc_id")).alias("m_docs"),
-        F.countDistinct("doc_id").alias("n_matched"),
+        F.array_sort(F.collect_list("doc_id")).alias("m_docs"),
+        F.count("*").alias("n_matched"),
     )
     out = matched.join(
         ctotals.select("grid", "res", "cell_id", F.col("n_docs").alias("n_total")),
@@ -78,8 +81,12 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
     pairs = base.select(
         "doc_id", F.explode("toks").alias("token"), "cells"
     ).select("token", "doc_id", F.explode("cells").alias("cell_id"))
+    # collect_list is valid (rows distinct, see docstring) and is what makes
+    # the build scale: hot (token, cell) groups hold 100k+ ids, and the
+    # single-task hash-set merge of collect_set dominated the stage tail
+    # (r02 scaling gate: 2.2x for 4x cores with set, 3.5x with list)
     matched = pairs.groupBy("token", "cell_id").agg(
-        F.array_sort(F.collect_set("doc_id")).alias("m_docs"),
+        F.array_sort(F.collect_list("doc_id")).alias("m_docs"),
         F.count("*").alias("n_matched"),
     )
     out = matched.join(

@@ -96,6 +96,75 @@ def _support_sql(n: Node, res: int) -> str:
     raise ValueError(n.op)
 
 
+def hcqr_stats_oracle_sql(query: str, res: int = 9) -> str:
+    """DuckDB twin of ``hcqr_stats`` over the zxy grid (r02 VERDICT item 7:
+    depth/node-count over zxy pixels is closed-form ancestor arithmetic).
+
+    Reproduces the engine's single-pass compaction semantics
+    (operators/hcqr.py compactify): leaves of the result CQR classify fm
+    extensionally (support covers every doc of the cell); an ancestor is a
+    candidate iff its fm leaves cover every populated leaf of its subtree;
+    fm rows of the compacted tree are the MAXIMAL candidates (parent not a
+    candidate); pm rows stay at res.  Stats mirror ``apps/mainq.cpp:151-156``.
+
+    VALID ONLY for trees of token/region leaves and INTERSECTIONS: for ∩ the
+    structural fm flag equals the extensional test (a proper subset ∩
+    anything cannot cover a full cell), while ∪ of two pm rows may cover a
+    cell extensionally yet stay pm structurally.  zxy ancestor math:
+    pixel = z·2^56 + x·2^28 + y; ancestor at distance k =
+    (z−k)·2^56 + ⌊x/2^k⌋·2^28 + ⌊y/2^k⌋.
+    """
+    ast = parse(query)
+    sup = _support_sql(ast, res)
+    anc = ("(zz - k) * (1::BIGINT << 56) + (xx // (1::BIGINT << k)) * (1::BIGINT << 28)"
+           " + (yy // (1::BIGINT << k))")
+    unpack = ("cell_id // (1::BIGINT << 56) AS zz,"
+              " (cell_id // (1::BIGINT << 28)) % (1::BIGINT << 28) AS xx,"
+              " cell_id % (1::BIGINT << 28) AS yy")
+    return f"""WITH {_ctes(res)},
+sup AS ({sup}),
+totals AS (SELECT cell_id, COUNT(DISTINCT doc_id) AS n_total FROM mcells GROUP BY 1),
+leaves AS (
+  SELECT s.cell_id, COUNT(DISTINCT s.doc_id) AS n_sup, t.n_total
+  FROM sup s JOIN totals t USING (cell_id) GROUP BY s.cell_id, t.n_total),
+fm_leaves AS (SELECT cell_id, {unpack} FROM leaves WHERE n_sup = n_total),
+pm_leaves AS (SELECT cell_id, n_sup FROM leaves WHERE n_sup < n_total),
+pop AS (SELECT cell_id, {unpack} FROM (SELECT DISTINCT cell_id FROM mcells)),
+ks AS (SELECT k FROM generate_series(0, {res}) t(k)),
+pop_anc AS (
+  SELECT {anc} AS apix, {res} - k AS alvl, COUNT(*) AS tot
+  FROM pop, ks GROUP BY 1, 2),
+cov AS (
+  SELECT {anc} AS apix, {res} - k AS alvl, COUNT(*) AS cov
+  FROM fm_leaves, ks GROUP BY 1, 2),
+cand AS (
+  SELECT c.apix, c.alvl FROM cov c JOIN pop_anc p
+  ON c.apix = p.apix AND c.alvl = p.alvl
+  WHERE c.cov = p.tot AND p.tot > 0),
+maximal AS (
+  SELECT apix, alvl FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand p WHERE p.alvl = c.alvl - 1
+    AND p.apix = (c.apix // (1::BIGINT << 56) - 1) * (1::BIGINT << 56)
+      + (((c.apix // (1::BIGINT << 28)) % (1::BIGINT << 28)) // 2) * (1::BIGINT << 28)
+      + (c.apix % (1::BIGINT << 28)) // 2)),
+hrows AS (
+  SELECT apix AS pixel_id, alvl AS level FROM maximal
+  UNION ALL SELECT cell_id, {res} FROM pm_leaves),
+unp AS (SELECT pixel_id, level, pixel_id // (1::BIGINT << 56) AS zz,
+       (pixel_id // (1::BIGINT << 28)) % (1::BIGINT << 28) AS xx,
+       pixel_id % (1::BIGINT << 28) AS yy FROM hrows),
+allnodes AS (
+  SELECT DISTINCT {anc} AS apix, level - k AS alvl
+  FROM unp, ks WHERE k <= level)
+SELECT CAST(MAX(r.level) + 1 AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_leaves,
+       CAST((SELECT COUNT(*) FROM maximal) AS BIGINT) AS n_fm,
+       CAST(COALESCE((SELECT SUM(n_sup) FROM pm_leaves), 0) AS BIGINT) AS pm_items,
+       CAST((SELECT COUNT(*) FROM allnodes) AS BIGINT) AS n_nodes
+FROM hrows r"""
+
+
 def optree_oracle_sql(query: str, res: int = 9) -> str:
     """Op-tree query string → DuckDB SQL for the flattened doc set.
 

@@ -60,6 +60,28 @@ def regions_df(spark):
     )
 
 
+def region_query_file(n_queries: int = 50) -> list[tuple[str, np.ndarray]]:
+    """Deterministic polygon-query workload: the 10 fixture regions plus
+    lat-shifted variants — the analog of the reference's benchmark query
+    FILE (``apps/mainq.cpp:126-140``), sized so throughput benchmarks have
+    enough distinct queries to saturate a large cluster.  Variant k shifts
+    every vertex k·1.7° SOUTH (southward only so the polar cap stays inside
+    [-90, 90]; longitudes untouched so antimeridian handling is unchanged).
+    """
+    out: list[tuple[str, np.ndarray]] = []
+    k = 0
+    while len(out) < n_queries:
+        for _rid, name, _lvl, poly in REGIONS:
+            if len(out) >= n_queries:
+                break
+            if k == 0:
+                out.append((name, poly))
+            else:
+                out.append((f"{name}~{k}", poly - np.array([1.7 * k, 0.0])))
+        k += 1
+    return out
+
+
 def region_by_name(name: str) -> np.ndarray:
     for _, n, _, poly in REGIONS:
         if n == name:
