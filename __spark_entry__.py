@@ -71,6 +71,7 @@ _OPTREES = {
     "optree_substring": "*par*",
     "optree_region_token": "$region:1 / dup",
     "optree_poly_union": "$poly:concave_c + $region:6",
+    "optree_rect": "$rect:42.3,51.7,-4.8,8.7 / join",
     "optree_empty_leaf": "nosuchtoken + dup",
 }
 # region-difference trees are grid-sensitive (two mentions of one doc can
@@ -80,6 +81,7 @@ import numpy as _np  # noqa: E402
 
 _CELL_METRO = int(ZXY.cell(_np.array([48.85]), _np.array([2.35]), _ZRES)[0])
 _OPTREES_ZXY = {
+    "optree_dilate": "%dup / spark",
     "optree_fm_conversion": "!dup / spark",
     "optree_fm_region": "!($region:1) - spark",
     "optree_nested": "(($region:2 - $region:1) / join) + (dup / $poly:east_am)",

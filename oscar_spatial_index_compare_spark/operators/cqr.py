@@ -168,6 +168,56 @@ def cqr_symdiff(left: DataFrame, right: DataFrame, ctotals: DataFrame) -> DataFr
     return only_l.unionByName(only_r).unionByName(pm_pm).unionByName(fm_pm)
 
 
+def cqr_dilate(cqr: DataFrame, grid: str, res: int, ctotals: DataFrame) -> DataFrame:
+    """One-ring CELL_DILATION: every cell adjacent to a result cell joins
+    the result as a full-match cell (its whole population matches).
+
+    The reference enumerates CELL_DILATION but stubs it in every evaluator
+    (``src/OscarSearchWithSg.cpp:167-181``); implemented here for the
+    closed-form zxy grid: the 8-neighborhood is pure column bit math
+    (x wraps around the antimeridian, y clamps at the poles — slippy-map
+    semantics).  Cells already in the CQR keep their rows (a pm cell is NOT
+    promoted by being its neighbor's neighbor); added cells are semi-joined
+    against the populated-cell set — an unpopulated fm cell flattens to
+    nothing, so dropping it early is result-identical and avoids growing
+    the CQR with dead rows at scale.
+    """
+    if grid != "zxy":
+        raise NotImplementedError(
+            "CELL_DILATION is implemented for the zxy grid (closed-form "
+            "neighbors); the reference stubs it everywhere "
+            "(src/OscarSearchWithSg.cpp:167-181)"
+        )
+    c = _norm(cqr)
+    n = F.lit(1 << res).cast("long")
+    x = F.shiftright(F.col("cell_id"), 28).bitwiseAND(F.lit((1 << 28) - 1))
+    y = F.col("cell_id").bitwiseAND(F.lit((1 << 28) - 1))
+    nbrs = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            nx = F.pmod(x + F.lit(dx), n)
+            ny = y + F.lit(dy)
+            nid = (
+                F.lit(res).cast("long") * F.lit(1 << 56).cast("long")
+                + nx * F.lit(1 << 28).cast("long") + ny
+            )
+            nbrs.append(F.when((ny >= 0) & (ny < n), nid))
+    nb = c.select(
+        F.explode(F.array_compact(F.array(*nbrs))).alias("cell_id")
+    ).dropDuplicates(["cell_id"])
+    added = (
+        nb.join(c.select("cell_id"), "cell_id", "left_anti")
+        .join(ctotals.select("cell_id"), "cell_id", "left_semi")
+        .select(
+            "cell_id", F.lit(True).alias("is_fm"),
+            F.lit(None).cast("array<long>").alias("doc_ids"),
+        )
+    )
+    return c.unionByName(added)
+
+
 def cqr_all_to_full(cqr: DataFrame) -> DataFrame:
     return _norm(cqr).select(
         "cell_id", F.lit(True).alias("is_fm"),

@@ -6,7 +6,7 @@ Reference: liboscar's ``AdvancedOpTree`` (parsed in
     expr   := term  (('+' | '-' | '^') term)*          (union/diff/symdiff)
     term   := factor (('/' factor) | factor)*          (intersection; bare
                                                         adjacency == '/')
-    factor := '!' factor | '(' expr ')' | leaf
+    factor := '!' factor | '%' factor | '(' expr ')' | leaf
     leaf   := token            exact        ("join")
             | token '*'        prefix       ("jo*")
             | '*' token        suffix       ("*in")
@@ -14,10 +14,21 @@ Reference: liboscar's ``AdvancedOpTree`` (parsed in
             | '$region:' id    region leaf  (Q3)
             | '$cell:' id      grid-cell leaf (Q3)
             | '$poly:' name    polygon leaf (X1; reference stubs these — Q9)
+            | '$rect:' a,b,c,d bounding-box leaf lat0,lat1,lon0,lon1
+                               (reference RECT leaf, stubbed —
+                               ``src/OscarSearchWithSg.cpp:142-158``)
 
 '!' is FM_CONVERSION (reference spells it '*',
 ``src/OscarSearchWithSg.cpp:165``; renamed here because '*' is taken by the
 prefix/suffix markers that the reference handles in its trie normalizer).
+'%' is one-ring CELL_DILATION (reference enumerates the op but stubs it,
+``src/OscarSearchWithSg.cpp:167-181``): every cell neighboring a result
+cell joins the result as a full-match cell.
+
+Note: a `$rect:` leaf may contain negative coordinates; the '-' characters
+are part of the leaf only INSIDE the `$...:` payload (no spaces) — a
+difference operator after any leaf needs surrounding spaces, as everywhere
+else in the language.
 """
 
 from __future__ import annotations
@@ -28,7 +39,7 @@ from dataclasses import dataclass
 
 @dataclass(frozen=True)
 class Node:
-    op: str  # union|inter|diff|sym|fm|token|region|cell|poly
+    op: str  # union|inter|diff|sym|fm|dilate|token|region|cell|poly|rect
     args: tuple = ()
 
     def __repr__(self):  # compact for test output
@@ -38,6 +49,9 @@ class Node:
 # '-' is NOT in the token charset: 'a-b' must lex as the difference operator
 # (ADVICE r01 — with '-' included it silently became one leaf token)
 _TOKEN_RE = re.compile(r"[\w.$:*]+", re.UNICODE)
+# $-leaves carry structured payloads (e.g. $rect: with signed coordinates)
+# — inside them ',' and '-' belong to the leaf, never to the operator set
+_DOLLAR_RE = re.compile(r"\$[\w.:,*+\-]+", re.UNICODE)
 
 
 def _lex(s: str) -> list[str]:
@@ -47,7 +61,12 @@ def _lex(s: str) -> list[str]:
         if c.isspace():
             i += 1
             continue
-        if c in "()+-^/!":
+        if c == "$":
+            m = _DOLLAR_RE.match(s, i)
+            out.append(m.group(0))
+            i = m.end()
+            continue
+        if c in "()+-^/!%":
             out.append(c)
             i += 1
             continue
@@ -105,6 +124,9 @@ class _Parser:
         if p == "!":
             self.next()
             return Node("fm", (self.factor(),))
+        if p == "%":
+            self.next()
+            return Node("dilate", (self.factor(),))
         if p == "(":
             self.next()
             n = self.expr()
@@ -123,6 +145,11 @@ class _Parser:
             return Node("cell", (int(t[len("$cell:"):]),))
         if t.startswith("$poly:"):
             return Node("poly", (t[len("$poly:"):],))
+        if t.startswith("$rect:"):
+            parts = t[len("$rect:"):].split(",")
+            if len(parts) != 4:
+                raise ValueError(f"$rect: needs lat0,lat1,lon0,lon1 — got {t!r}")
+            return Node("rect", tuple(float(x) for x in parts))
         qt = "exact"
         pat = t
         if pat.startswith("*") and pat.endswith("*") and len(pat) > 2:

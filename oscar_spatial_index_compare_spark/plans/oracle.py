@@ -64,14 +64,35 @@ def _support_sql(n: Node, res: int) -> str:
             f"SELECT doc_id, cell_id FROM mcells WHERE doc_id IN "
             f"({_token_docs_sql(*n.args)})"
         )
-    if n.op in ("region", "poly"):
+    if n.op in ("region", "poly", "rect"):
+        import numpy as np
+
         from ..functions.geo import pip_sql
 
-        poly = region_by_id(n.args[0]) if n.op == "region" else region_by_name(n.args[0])
+        if n.op == "rect":
+            la0, la1, lo0, lo1 = n.args
+            poly = np.array(
+                [[la0, lo0], [la0, lo1], [la1, lo1], [la1, lo0]], np.float64)
+        else:
+            poly = region_by_id(n.args[0]) if n.op == "region" else region_by_name(n.args[0])
         return (
             f"SELECT DISTINCT m.doc_id, {cell} AS cell_id FROM mentions m "
             f"WHERE {pip_sql('m.lat', 'm.lon', poly)}"
         )
+    if n.op == "dilate":
+        # one-ring zxy dilation: neighbor cells NOT already in the child
+        # join with their full population (fm semantics); x wraps, y clamps
+        child = _support_sql(n.args[0], res)
+        mask = (1 << 28) - 1
+        return f"""SELECT doc_id, cell_id FROM mcells WHERE cell_id IN (
+  SELECT (CAST({res} AS BIGINT) * (1::BIGINT << 56)) + (((c.x + d.dx + nn.n) % nn.n) * (1::BIGINT << 28)) + (c.y + d.dy)
+  FROM (SELECT DISTINCT (cell_id // (1::BIGINT << 28)) % {mask + 1} AS x,
+               cell_id % {mask + 1} AS y FROM ({child})) c
+  CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)) d(dx, dy)
+  CROSS JOIN (SELECT (1::BIGINT << {res}) AS n) nn
+  WHERE c.y + d.dy >= 0 AND c.y + d.dy < nn.n
+) AND cell_id NOT IN (SELECT DISTINCT cell_id FROM ({child}))
+UNION SELECT * FROM ({child})"""
     if n.op == "cell":
         return f"SELECT doc_id, cell_id FROM mcells WHERE cell_id = {n.args[0]}"
     if n.op == "fm":

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..operators.cqr import (
     cqr_all_to_full,
     cqr_difference,
+    cqr_dilate,
     cqr_flatten,
     cqr_intersect,
     cqr_symdiff,
@@ -113,7 +114,7 @@ class Planner:
         4x fewer Spark jobs per tree than the r01 per-op scheme."""
         n = parse(query)
         h = self._eval_hcqr(n)
-        if h is None or n.op in ("token", "region", "poly", "cell"):
+        if h is None or n.op in ("token", "region", "poly", "rect", "cell", "dilate"):
             return h  # leaves come pre-compacted from hcqr_from_cqr
         from ..operators.hcqr import compactify
 
@@ -134,7 +135,9 @@ class Planner:
         from ..operators.hcqr import hcqr_all_to_full, hcqr_from_cqr, hcqr_op
 
         ctx = self.ctx
-        if n.op in ("token", "region", "poly", "cell"):
+        if n.op in ("token", "region", "poly", "rect", "cell", "dilate"):
+            # dilate has no structural HCQR form — like the spatial leaves,
+            # its CQR result is lifted (and compacted) into the hierarchy
             c = self._eval(n)
             if c is None:
                 return None
@@ -209,9 +212,20 @@ class Planner:
                     F.array_sort(F.array_distinct(F.flatten(F.collect_list("doc_ids"))))
                 ).alias("doc_ids"),
             )
-        if n.op in ("region", "poly"):
-            poly = region_by_id(n.args[0]) if n.op == "region" else region_by_name(n.args[0])
+        if n.op in ("region", "poly", "rect"):
+            if n.op == "rect":
+                la0, la1, lo0, lo1 = n.args
+                poly = np.array(
+                    [[la0, lo0], [la0, lo1], [la1, lo1], [la1, lo0]], np.float64)
+            else:
+                poly = region_by_id(n.args[0]) if n.op == "region" else region_by_name(n.args[0])
             return self._region_cqr(poly)
+        if n.op == "dilate":
+            c = self._eval(n.args[0])
+            # dilating the empty result is empty (no cells → no neighbors)
+            if c is None:
+                return None
+            return cqr_dilate(c, ctx.grid, ctx.res, ctx.ctotals)
         if n.op == "cell":
             return ctx.spark.createDataFrame(
                 [(int(n.args[0]), True, None)], "cell_id long, is_fm boolean, doc_ids array<long>"
