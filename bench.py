@@ -76,32 +76,35 @@ def main() -> None:
     eng = Engine(spark, SF_DIR, catalog_root=cat_root)
 
     # --- 1. spatial-index build (B1-B3 + B4/B5): mentions → cells → postings
-    def build():
-        ctx = eng.context("s2", 10)
+    # Each entry is split into components that SUM to its wall (r03 VERDICT
+    # item 2 — the reference reports create and query separately,
+    # apps/mainc.cpp:152-157):
+    #   _write   = Σ catalog snapshot walls (compute+serialize per table)
+    #   _snapshot_count = create − write (snapshot-log row counting)
+    #   _reload  = counting the three STORED tables (the query-side open)
+    def build(grid, res, name):
+        seen = {s["snapshot_id"] for s in eng.catalog.snapshots()}
+        t0 = time.perf_counter()
+        ctx = eng.context(grid, res)
+        t_create = time.perf_counter() - t0
+        t1 = time.perf_counter()
         n = ctx.mcells.count()
         ctx.ctotals.count()
         ctx.tpostings.count()
+        t_reload = time.perf_counter() - t1
+        t_write = sum(s["wall_sec"] for s in eng.catalog.snapshots()
+                      if s["snapshot_id"] not in seen)
+        timings[f"index_build_{name}"] = round(t_create + t_reload, 3)
+        timings[f"index_build_{name}_write"] = round(t_write, 3)
+        timings[f"index_build_{name}_snapshot_count"] = round(t_create - t_write, 3)
+        timings[f"index_build_{name}_reload"] = round(t_reload, 3)
+        raw_rows.append((f"index_build_{name}", round((t_create + t_reload) * 1e6), n))
         return n
-    n_mentions = timed("index_build_s2", build)
+
+    n_mentions = build("s2", 10, "s2")
     build_docs_per_sec = n_docs / timings["index_build_s2"]
-
-    def build_h3():
-        # full h3 context build — same three tables as the s2 entry so the
-        # two numbers are comparable (r01 VERDICT bench-asymmetry fix)
-        ctx = eng.context("h3", 6)
-        n = ctx.mcells.count()
-        ctx.ctotals.count()
-        ctx.tpostings.count()
-        return n
-    timed("index_build_h3", build_h3)
-
-    def build_htm():
-        ctx = eng.context("htm", 9)
-        n = ctx.mcells.count()
-        ctx.ctotals.count()
-        ctx.tpostings.count()
-        return n
-    timed("index_build_htm", build_htm)
+    build("h3", 6, "h3")
+    build("htm", 9, "htm")
 
     # --- 2. region queries (X1), warm index
     ctx = eng.context("s2", 10)
@@ -153,8 +156,12 @@ def main() -> None:
     timed("dedup_exact", lambda: exact_dup_groups(docs_df).count())
     timed("dedup_simhash", lambda: simhash(docs_df).count())
 
-    # --- 7. HCQR build + stats (B8/Q12)
-    timed("hcqr_intersect", lambda: p.hcqr_docs("join / window").count())
+    # --- 7. HCQR: create the static per-token payload table once (the
+    # reference's osi-compare-create hcqr mode), then query it — the
+    # per-query CQR-lift cost moves into the create step (r03 VERDICT #4)
+    timed("hcqr_create", lambda: eng.hcqr_context("s2", 10).hcqr_tbl.count())
+    hp = eng.hcqr_planner("s2", 10)
+    timed("hcqr_intersect", lambda: hp.hcqr_docs("join / window").count())
 
     total = time.perf_counter() - t_total0
 

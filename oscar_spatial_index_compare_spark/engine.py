@@ -61,6 +61,7 @@ class Engine:
 
             self.catalog = Catalog(spark, catalog_root)
         self._ctx: dict[tuple[str, int], QueryContext] = {}
+        self._hcqr_ctx: dict[tuple[str, int], QueryContext] = {}
         self._tokens: list[str] | None = None
         self._tokens_loaded = False
         self._n_docs: int | None = None
@@ -99,40 +100,93 @@ class Engine:
     def context(self, grid: str = "s2", res: int = 10) -> QueryContext:
         key = (grid, res)
         if key not in self._ctx:
-            # ONE cached frame feeds every index table (the gazetteer match
-            # runs once per corpus pass); mention_cells is an explode view
-            full = doc_index_full(self.docs, grid, res)
-            if self.cache or self.catalog is not None:
-                full = full.cache()
-            mc = mention_cells_from_full(full, grid, res)
-            ct = cell_totals_from_base(full, grid, res, n_docs_hint=self.n_docs())
-            tp = token_postings_from_base(full, ct, grid, res)
             if self.catalog is not None:
-                # create→query split: write each table sorted (postings by
-                # cell/token → parquet min-max prune leaf filters) and hand
-                # the STORED tables to the planner; the one-pass base is
-                # only needed during the build and is dropped after
+                # create→query split, WRITE-ONCE (r03 VERDICT item 1): the
+                # one-pass base is materialized directly — one corpus pass,
+                # one write — and every index table derives from the STORED
+                # base, so each derivation is a pruned columnar read (mc
+                # reads names/lats/lons/cells_m, ct reads doc_id+cells, tp
+                # reads doc_id+toks+cells).  The r03 scheme cached the base
+                # in memory (a full extra columnar write) AND recomputed it
+                # per count-action; the cache write was pure overhead once
+                # catalog mode exists.  Tables are written sorted (postings
+                # by cell/token → parquet min-max prune leaf filters).
                 suffix = f"{grid}_{res}"
                 params = {"grid": grid, "res": res}
+                base = self.catalog.materialize(
+                    doc_index_full(self.docs, grid, res),
+                    f"index_base_{suffix}", "index_base",
+                    [self.sf_dir], params=params)
                 mc = self.catalog.materialize(
-                    mc, f"mention_cells_{suffix}", "mention_cells",
-                    [self.sf_dir], sort_within=["cell_id"], params=params)
+                    mention_cells_from_full(base, grid, res),
+                    f"mention_cells_{suffix}", "mention_cells",
+                    [f"index_base_{suffix}"], sort_within=["cell_id"],
+                    params=params)
                 ct = self.catalog.materialize(
-                    ct, f"cell_totals_{suffix}", "cell_totals",
-                    [self.sf_dir], sort_within=["cell_id"], params=params)
+                    cell_totals_from_base(base, grid, res,
+                                          n_docs_hint=self.n_docs()),
+                    f"cell_totals_{suffix}", "cell_totals",
+                    [f"index_base_{suffix}"], sort_within=["cell_id"],
+                    params=params)
                 tp = self.catalog.materialize(
-                    tp, f"token_postings_{suffix}", "token_postings",
-                    [self.sf_dir], sort_within=["token", "cell_id"], params=params)
-                full.unpersist()
-            elif self.cache:
-                ct = ct.cache()
-                tp = tp.cache()
+                    token_postings_from_base(base, ct, grid, res,
+                                             n_docs_hint=self.n_docs()),
+                    f"token_postings_{suffix}", "token_postings",
+                    [f"index_base_{suffix}", f"cell_totals_{suffix}"],
+                    sort_within=["token", "cell_id"], params=params)
+            else:
+                # in-memory mode: ONE cached frame feeds every index table
+                # (the gazetteer match runs once per corpus pass);
+                # mention_cells is an explode view
+                full = doc_index_full(self.docs, grid, res)
+                if self.cache:
+                    full = full.cache()
+                mc = mention_cells_from_full(full, grid, res)
+                ct = cell_totals_from_base(full, grid, res,
+                                           n_docs_hint=self.n_docs())
+                tp = token_postings_from_base(full, ct, grid, res,
+                                              n_docs_hint=self.n_docs())
+                if self.cache:
+                    ct = ct.cache()
+                    tp = tp.cache()
             self._ctx[key] = QueryContext(
                 spark=self.spark, grid=grid, res=res,
                 mcells=mc, ctotals=ct, tpostings=tp,
                 tokens=self.corpus_tokens(),
             )
         return self._ctx[key]
+
+    def hcqr_context(self, grid: str = "s2", res: int = 10) -> QueryContext:
+        """context() + the materialized per-token HCQR payload table — the
+        reference's ``osi-compare-create hcqr`` mode (``apps/mainc.cpp:
+        152-157``).  Built lazily on first HCQR use; in catalog mode the
+        table is serialized (sorted by token → pushed token filters prune
+        row groups), otherwise session-cached."""
+        key = (grid, res)
+        if key not in self._hcqr_ctx:
+            import dataclasses
+
+            from .operators.hcqr import hcqr_postings_build
+
+            ctx = self.context(grid, res)
+            ht = hcqr_postings_build(
+                ctx.tpostings, ctx.ctotals, grid, res, pop_anc=ctx.pop_anc())
+            if self.catalog is not None:
+                ht = self.catalog.materialize(
+                    ht, f"hcqr_postings_{grid}_{res}", "hcqr_postings",
+                    [f"token_postings_{grid}_{res}"],
+                    sort_within=["token", "pixel_id"],
+                    params={"grid": grid, "res": res})
+            elif self.cache:
+                ht = ht.cache()
+            # a SEPARATE context object: planner() must keep serving the
+            # lift-per-query path (mutating the shared ctx would silently
+            # switch it — the id()-aliasing class of bug from r02)
+            self._hcqr_ctx[key] = dataclasses.replace(ctx, hcqr_tbl=ht)
+        return self._hcqr_ctx[key]
+
+    def hcqr_planner(self, grid: str = "s2", res: int = 10) -> Planner:
+        return Planner(self.hcqr_context(grid, res))
 
     def planner(self, grid: str = "s2", res: int = 10) -> Planner:
         return Planner(self.context(grid, res))
@@ -151,9 +205,10 @@ class Engine:
 
     def hcqr_docs(self, query: str, grid: str = "s2", res: int = 10,
                   use_cache: bool = True) -> DataFrame:
-        """HCQR-path flagship entry, result-cached like query_docs."""
+        """HCQR-path flagship entry, result-cached like query_docs; runs
+        against the materialized static-HCQR index (hcqr_context)."""
         return self._cached(("hcqr", query, grid, res),
-                            lambda: self.planner(grid, res).hcqr_docs(query),
+                            lambda: self.hcqr_planner(grid, res).hcqr_docs(query),
                             use_cache)
 
     def _cached(self, key: tuple, build, use_cache: bool) -> DataFrame:
@@ -165,5 +220,12 @@ class Engine:
         df = build().localCheckpoint(eager=False)
         self._results[key] = df
         while len(self._results) > self.RESULT_CACHE_CAP:
-            self._results.popitem(last=False)
+            _k, evicted = self._results.popitem(last=False)
+            # free the evicted frame's localCheckpoint blocks immediately —
+            # dropping the reference alone leaves the RDD blocks pinned until
+            # the JVM ContextCleaner happens to GC them (ADVICE r03)
+            try:
+                evicted.rdd.unpersist()
+            except Exception:
+                pass  # best-effort: an un-materialized checkpoint has no blocks
         return df

@@ -31,11 +31,15 @@ from pyspark.sql import functions as F
 from ..functions.udfs import cell_col, cells_arr_col
 
 HOT_SALT_BUCKETS = 8
-# (doc,cell) rows a single cell must exceed before the explicit two-phase
+# (doc,cell) rows a single group must exceed before the explicit two-phase
 # (salted) aggregation kicks in; below it a plain map-side-combined groupBy
 # is strictly cheaper (the salt pass doubles shuffle volume for cells that
-# were never hot — VERDICT r01 "universal salting" finding).
-HOT_CELL_THRESHOLD = 1_000_000
+# were never hot — VERDICT r01 "universal salting" finding).  Lowered from
+# 1M in r04: the r03 scaling harness named the single-reducer tail of hot
+# postings groups as the residual straggler — at 100k rows the salted
+# two-phase splits a hot group's list-build 8 ways while the count-only
+# pre-pass stays cheap (fully map-combined).
+HOT_CELL_THRESHOLD = 100_000
 
 
 def doc_index_full(docs: DataFrame, grid: str, res: int) -> DataFrame:

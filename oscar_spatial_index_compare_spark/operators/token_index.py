@@ -69,7 +69,8 @@ def token_postings(tdocs: DataFrame, dcells: DataFrame, ctotals: DataFrame) -> D
 
 
 def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
-                             grid: str, res: int) -> DataFrame:
+                             grid: str, res: int,
+                             n_docs_hint: int | None = None) -> DataFrame:
     """One-pass variant over doc_index_base (doc_id, toks, cells): the
     (token, doc, cell) fan-out is a pure double explode — no join with a
     doc_cells table at all (that join was the dominant shuffle of the r01
@@ -77,7 +78,19 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
 
     ``count(*)`` == distinct docs per (token, cell) because toks and cells
     are array_distinct per doc, so each (token, doc, cell) row is unique.
+
+    The groupBy gets the same CONDITIONAL two-phase salting as cell_totals
+    (_doc_sets_by_cell): hot (token, cell) groups — common tokens in metro
+    cells — were the named stage-tail straggler of the r03 scaling gate; a
+    single reducer building one 100k+-id list serializes the tail.  The
+    salt pre-pass is skipped exactly when ``n_docs_hint`` proves no group
+    can be hot (a (token, cell) group never exceeds the corpus doc count).
     """
+    from .index_build import HOT_CELL_THRESHOLD, _doc_sets_by_cell
+
+    hot_threshold: int | None = HOT_CELL_THRESHOLD
+    if n_docs_hint is not None and n_docs_hint <= hot_threshold:
+        hot_threshold = None
     pairs = base.select(
         "doc_id", F.explode("toks").alias("token"), "cells"
     ).select("token", "doc_id", F.explode("cells").alias("cell_id"))
@@ -85,9 +98,10 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
     # the build scale: hot (token, cell) groups hold 100k+ ids, and the
     # single-task hash-set merge of collect_set dominated the stage tail
     # (r02 scaling gate: 2.2x for 4x cores with set, 3.5x with list)
-    matched = pairs.groupBy("token", "cell_id").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("m_docs"),
-        F.count("*").alias("n_matched"),
+    matched = _doc_sets_by_cell(pairs, ["token", "cell_id"], hot_threshold).select(
+        "token", "cell_id",
+        F.col("doc_ids").alias("m_docs"),
+        F.size("doc_ids").cast("long").alias("n_matched"),
     )
     out = matched.join(
         ctotals.select("cell_id", F.col("n_docs").alias("n_total")), "cell_id"

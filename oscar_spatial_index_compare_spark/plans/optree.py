@@ -26,9 +26,10 @@ prefix/suffix markers that the reference handles in its trie normalizer).
 cell joins the result as a full-match cell.
 
 Note: a `$rect:` leaf may contain negative coordinates; the '-' characters
-are part of the leaf only INSIDE the `$...:` payload (no spaces) — a
-difference operator after any leaf needs surrounding spaces, as everywhere
-else in the language.
+are part of the leaf only INSIDE a `$...:` payload (no spaces), so a
+difference operator directly after a $-leaf needs surrounding spaces
+('$region:1 - 2', not '$region:1-2').  Plain token leaves are unaffected:
+'-' is not in their charset, so 'a-b' still lexes as a difference.
 """
 
 from __future__ import annotations
@@ -63,6 +64,11 @@ def _lex(s: str) -> list[str]:
             continue
         if c == "$":
             m = _DOLLAR_RE.match(s, i)
+            if m is None:
+                raise ValueError(
+                    f"bad $-leaf at {i} in {s!r}: expected $region:/$cell:/"
+                    f"$poly:/$rect: with a payload"
+                )
             out.append(m.group(0))
             i = m.end()
             continue
@@ -140,16 +146,36 @@ class _Parser:
         if t is None:
             raise ValueError("unexpected end of input")
         if t.startswith("$region:"):
-            return Node("region", (int(t[len("$region:"):]),))
+            payload = t[len("$region:"):]
+            if not re.fullmatch(r"\d+", payload):
+                raise ValueError(
+                    f"$region: needs a plain integer id — got {t!r}"
+                    " (a '-' inside a $-leaf belongs to the leaf; write"
+                    " '$region:1 - 2' for a difference)"
+                )
+            return Node("region", (int(payload),))
         if t.startswith("$cell:"):
-            return Node("cell", (int(t[len("$cell:"):]),))
+            payload = t[len("$cell:"):]
+            if not re.fullmatch(r"-?\d+", payload):
+                raise ValueError(f"$cell: needs an integer cell id — got {t!r}")
+            return Node("cell", (int(payload),))
         if t.startswith("$poly:"):
             return Node("poly", (t[len("$poly:"):],))
         if t.startswith("$rect:"):
             parts = t[len("$rect:"):].split(",")
             if len(parts) != 4:
                 raise ValueError(f"$rect: needs lat0,lat1,lon0,lon1 — got {t!r}")
-            return Node("rect", tuple(float(x) for x in parts))
+            try:
+                coords = tuple(float(x) for x in parts)
+            except ValueError:
+                raise ValueError(
+                    f"$rect: needs 4 numeric coords lat0,lat1,lon0,lon1 — got {t!r}"
+                ) from None
+            return Node("rect", coords)
+        if t.startswith("$"):
+            raise ValueError(
+                f"unknown $-leaf {t!r}: expected $region:/$cell:/$poly:/$rect:"
+            )
         qt = "exact"
         pat = t
         if pat.startswith("*") and pat.endswith("*") and len(pat) > 2:

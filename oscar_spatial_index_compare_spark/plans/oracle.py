@@ -117,6 +117,24 @@ UNION SELECT * FROM ({child})"""
     raise ValueError(n.op)
 
 
+_HCQR_STATS_SAFE_OPS = frozenset({"inter", "token", "region", "poly", "rect", "cell"})
+
+
+def _assert_intersection_only(n: Node) -> None:
+    """hcqr_stats_oracle_sql's extensional-fm classification is only
+    equivalent to the engine's structural one for intersection-shaped trees
+    (see its docstring); fail loudly on anything else."""
+    if n.op not in _HCQR_STATS_SAFE_OPS:
+        raise ValueError(
+            f"hcqr_stats_oracle_sql is valid only for intersection-shaped "
+            f"trees (ops {sorted(_HCQR_STATS_SAFE_OPS)}); found {n.op!r} — "
+            f"use a brute-force check instead"
+        )
+    for a in n.args:
+        if isinstance(a, Node):
+            _assert_intersection_only(a)
+
+
 def hcqr_stats_oracle_sql(query: str, res: int = 9) -> str:
     """DuckDB twin of ``hcqr_stats`` over the zxy grid (r02 VERDICT item 7:
     depth/node-count over zxy pixels is closed-form ancestor arithmetic).
@@ -131,11 +149,15 @@ def hcqr_stats_oracle_sql(query: str, res: int = 9) -> str:
     VALID ONLY for trees of token/region leaves and INTERSECTIONS: for ∩ the
     structural fm flag equals the extensional test (a proper subset ∩
     anything cannot cover a full cell), while ∪ of two pm rows may cover a
-    cell extensionally yet stay pm structurally.  zxy ancestor math:
+    cell extensionally yet stay pm structurally.  ENFORCED below — a tree
+    containing union/diff/sym/fm/dilate raises instead of silently
+    mis-verifying (VERDICT r03 item 6); pytest covers union-tree stats by
+    brute force instead (tests/test_hcqr.py).  zxy ancestor math:
     pixel = z·2^56 + x·2^28 + y; ancestor at distance k =
     (z−k)·2^56 + ⌊x/2^k⌋·2^28 + ⌊y/2^k⌋.
     """
     ast = parse(query)
+    _assert_intersection_only(ast)
     sup = _support_sql(ast, res)
     anc = ("(zz - k) * (1::BIGINT << 56) + (xx // (1::BIGINT << k)) * (1::BIGINT << 28)"
            " + (yy // (1::BIGINT << k))")

@@ -74,6 +74,12 @@ class QueryContext:
     # key-equality lookup, the reference's per-trie-node payload read
     # (include/hic/OscarSearchSgIndex.h:29-35)
     qt_tables: dict | None = None
+    # MATERIALIZED per-token HCQR payloads (hcqr.hcqr_postings_build — the
+    # static HCQR index, ``src/static-htm-index.cpp:250-449``): single-token
+    # HCQR leaves become one pushed-filter scan instead of a CQR lift +
+    # compaction per query (r03 VERDICT item 4).  Populated by
+    # Engine.hcqr_context; None → leaves lift their CQR as before.
+    hcqr_tbl: DataFrame | None = None
     _pop_anc: DataFrame | None = None
 
     def pop_anc(self) -> DataFrame:
@@ -124,9 +130,16 @@ class Planner:
         ).localCheckpoint(eager=False)
 
     def hcqr_docs(self, query: str) -> DataFrame:
+        """items() of the HCQR evaluation WITHOUT the root compactify: set
+        ops preserve disjointness of their normal-form inputs (see
+        operators/hcqr.py section comment), and items() only needs
+        disjointness plus its own final dedup — compaction is a
+        canonical-form/stats concern, ~4 shuffles a docs query can skip.
+        Equality with hcqr()→items and with the flat CQR is asserted in
+        tests/test_hcqr.py."""
         from ..operators.hcqr import hcqr_items
 
-        h = self.hcqr(query)
+        h = self._eval_hcqr(parse(query))
         if h is None:
             return self.ctx.spark.range(0).select(F.col("id").alias("doc_id"))
         return hcqr_items(h, self.ctx.ctotals, self.ctx.grid, self.ctx.res, self.ctx.spark)
@@ -135,6 +148,26 @@ class Planner:
         from ..operators.hcqr import hcqr_all_to_full, hcqr_from_cqr, hcqr_op
 
         ctx = self.ctx
+        if n.op == "token" and ctx.hcqr_tbl is not None:
+            # materialized static-HCQR index: a single-token leaf is ONE
+            # pushed-filter scan of pre-compacted rows (reference loads the
+            # serialized per-token tree, ``src/static-htm-index.cpp:202-207``)
+            pat, qt = n.args
+            qt = resolve_qt(qt, ctx.available_qts)
+            if ctx.tokens is not None:
+                matched = match_tokens(ctx.tokens, pat, qt)
+                if not matched:
+                    return None
+                if len(matched) == 1:
+                    return ctx.hcqr_tbl.where(
+                        F.col("token") == F.lit(matched[0])
+                    ).select("pixel_id", "level", "is_fm", "doc_ids")
+            elif qt == "exact":
+                return ctx.hcqr_tbl.where(F.col("token") == F.lit(pat)).select(
+                    "pixel_id", "level", "is_fm", "doc_ids"
+                )
+            # multi-token pattern: fall through to the CQR-lift path below
+            # (a union of per-token compacted trees is not normal-form)
         if n.op in ("token", "region", "poly", "rect", "cell", "dilate"):
             # dilate has no structural HCQR form — like the spatial leaves,
             # its CQR result is lifted (and compacted) into the hierarchy

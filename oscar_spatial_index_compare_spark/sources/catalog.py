@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +36,10 @@ class Catalog:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self.log_path = os.path.join(root, "snapshots.json")
+        # materialize() may be called from concurrent build threads (the
+        # driver submits independent table writes in parallel to fill the
+        # cluster through stage tails); the log append is read-modify-write
+        self._log_lock = threading.Lock()
         if use_iceberg is None:
             use_iceberg = bool(
                 spark.conf.get("spark.sql.catalog.osi", None)
@@ -49,12 +54,13 @@ class Catalog:
         return []
 
     def _append(self, entry: dict) -> None:
-        log = self._log()
-        log.append(entry)
-        tmp = self.log_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(log, f, indent=1)
-        os.replace(tmp, self.log_path)
+        with self._log_lock:
+            log = self._log()
+            log.append(entry)
+            tmp = self.log_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(log, f, indent=1)
+            os.replace(tmp, self.log_path)
 
     def snapshots(self, table: str | None = None) -> list[dict]:
         return [s for s in self._log() if table is None or s["table"] == table]

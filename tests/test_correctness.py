@@ -14,8 +14,10 @@ import pytest
 import __spark_entry__ as entrymod
 from tests.conftest import SF_DIR
 
-_Q = entrymod.queries()
-_O = entrymod.oracle_sql()
+# driver budget is 50 entries; extra_queries() carries the trimmed variants
+# so pytest still oracle-checks every operator (r03 VERDICT item 3)
+_Q = {**entrymod.queries(), **entrymod.extra_queries()}
+_O = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
 
 
 def _normalize(rows, cols):

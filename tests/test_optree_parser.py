@@ -49,3 +49,24 @@ def test_unspaced_difference_lexes_as_operator():
     assert n.args[0] == Node("token", ("a", "exact"))
     assert n.args[1] == Node("token", ("b", "exact"))
     assert parse("join-dup+spark").op == "union"
+
+
+def test_dollar_leaf_errors_are_parse_errors():
+    # ADVICE r03: a bare '$' must raise ValueError, not AttributeError
+    with pytest.raises(ValueError, match=r"\$-leaf"):
+        parse("$ + dup")
+    # '-' is swallowed into $-payloads; the payload validator must reject it
+    # with a clear message (not a confusing int() ValueError)
+    with pytest.raises(ValueError, match="region"):
+        parse("$region:1-2")
+    with pytest.raises(ValueError, match="rect"):
+        parse("$rect:1,2,3")
+    with pytest.raises(ValueError, match="rect"):
+        parse("$rect:a,b,c,d")
+    with pytest.raises(ValueError, match="unknown"):
+        parse("$bogus:1")
+    # spaced difference after a $-leaf still parses
+    n = parse("$region:1 - 2")
+    assert n.op == "diff"
+    # plain token leaves are unaffected: unspaced '-' is still a difference
+    assert parse("a-b").op == "diff"
