@@ -79,14 +79,27 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
     ``count(*)`` == distinct docs per (token, cell) because toks and cells
     are array_distinct per doc, so each (token, doc, cell) row is unique.
 
-    The groupBy gets the same CONDITIONAL two-phase salting as cell_totals
-    (_doc_sets_by_cell): hot (token, cell) groups — common tokens in metro
-    cells — were the named stage-tail straggler of the r03 scaling gate; a
-    single reducer building one 100k+-id list serializes the tail.  The
-    salt pre-pass is skipped exactly when ``n_docs_hint`` proves no group
-    can be hot (a (token, cell) group never exceeds the corpus doc count).
+    Two-pass shape (r04, the scaling-gate straggler fix):
+
+      pass 1  count-only groupBy (fully map-combined — shuffle carries one
+              long per group-partial, not per triple) ⋈ cell_totals
+              → classifies every (token, cell) group fm/pm AND hot/cold
+      pass 2  collect_list over the **pm triples only**, with explicit
+              two-phase salting for the hot pm groups
+
+    fm groups (a token matching every doc of a cell — common tokens in
+    dense cells, the largest lists) ship NO doc ids at all: their lists are
+    recovered from cell_totals at query time (doc_ids NULL — the
+    reference's fm-bit compression, ``src/OscarSearchSgIndex.cpp:178-197``,
+    applied at BUILD time so it also elides their shuffle volume; measured
+    24% of all doc-slots on the 1M-doc scaling corpus).  The count pass
+    doubles as the hot-group detection, so salting costs no extra pass; a
+    single reducer building one 100k+-id list was the named stage-tail
+    straggler of the r03 scaling gate.  ``n_docs_hint`` ≤ threshold proves
+    no group can be hot (a group never exceeds the corpus doc count) and
+    skips the salt split, not the count pass (fm classification needs it).
     """
-    from .index_build import HOT_CELL_THRESHOLD, _doc_sets_by_cell
+    from .index_build import HOT_CELL_THRESHOLD, HOT_SALT_BUCKETS
 
     hot_threshold: int | None = HOT_CELL_THRESHOLD
     if n_docs_hint is not None and n_docs_hint <= hot_threshold:
@@ -94,29 +107,55 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
     pairs = base.select(
         "doc_id", F.explode("toks").alias("token"), "cells"
     ).select("token", "doc_id", F.explode("cells").alias("cell_id"))
-    # collect_list is valid (rows distinct, see docstring) and is what makes
-    # the build scale: hot (token, cell) groups hold 100k+ ids, and the
-    # single-task hash-set merge of collect_set dominated the stage tail
-    # (r02 scaling gate: 2.2x for 4x cores with set, 3.5x with list)
-    matched = _doc_sets_by_cell(pairs, ["token", "cell_id"], hot_threshold).select(
-        "token", "cell_id",
-        F.col("doc_ids").alias("m_docs"),
-        F.size("doc_ids").cast("long").alias("n_matched"),
-    )
-    out = matched.join(
+    # count(*) == distinct docs per group (triples distinct, see docstring)
+    counts = pairs.groupBy("token", "cell_id").agg(F.count("*").alias("n_matched"))
+    cls = counts.join(
         ctotals.select("cell_id", F.col("n_docs").alias("n_total")), "cell_id"
     )
-    return out.select(
-        "token",
-        F.lit("exact").alias("qt"),
-        F.lit(grid).alias("grid"), F.lit(res).alias("res"),
-        "cell_id",
-        (F.col("n_matched") == F.col("n_total")).alias("is_fm"),
-        F.when(F.col("n_matched") == F.col("n_total"), F.lit(None)).otherwise(
-            F.col("m_docs")
-        ).alias("doc_ids"),
+    fm_keys = cls.where(F.col("n_matched") == F.col("n_total")).select(
+        "token", "cell_id", "n_matched")
+    pm_keys = cls.where(F.col("n_matched") < F.col("n_total")).select(
+        "token", "cell_id", "n_matched")
+    # group-key frames are tiny relative to the triples (bounded by
+    # vocab × populated cells); AQE converts these joins to broadcasts at
+    # runtime when they fit, and falls back to shuffle joins when a 100 TB
+    # dictionary outgrows that — no driver-side collect either way
+    pm_pairs = pairs.join(fm_keys.select("token", "cell_id"),
+                          ["token", "cell_id"], "left_anti")
+    # collect_list is valid (rows distinct) and is what makes the build
+    # scale: collect_set's single-task hash-set merge dominated the stage
+    # tail (r02 scaling gate: 2.2x for 4x cores with set, 3.5x with list)
+    if hot_threshold is None:
+        pm_sets = pm_pairs.groupBy("token", "cell_id").agg(
+            F.array_sort(F.collect_list("doc_id")).alias("m_docs"))
+    else:
+        hot = pm_keys.where(F.col("n_matched") > hot_threshold).select(
+            "token", "cell_id")
+        cold = pm_pairs.join(hot, ["token", "cell_id"], "left_anti").groupBy(
+            "token", "cell_id"
+        ).agg(F.array_sort(F.collect_list("doc_id")).alias("m_docs"))
+        hot_salted = pm_pairs.join(hot, ["token", "cell_id"], "left_semi").withColumn(
+            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(HOT_SALT_BUCKETS)))
+        hot_partial = hot_salted.groupBy("token", "cell_id", "_salt").agg(
+            F.collect_list("doc_id").alias("_part"))
+        hot_sets = hot_partial.groupBy("token", "cell_id").agg(
+            F.array_sort(F.flatten(F.collect_list("_part"))).alias("m_docs"))
+        pm_sets = cold.unionByName(hot_sets)
+    head = [F.lit("exact").alias("qt"), F.lit(grid).alias("grid"),
+            F.lit(res).alias("res")]
+    fm_out = fm_keys.select(
+        "token", *head, "cell_id",
+        F.lit(True).alias("is_fm"),
+        F.lit(None).cast("array<long>").alias("doc_ids"),
         F.col("n_matched").cast("long").alias("n_docs"),
     )
+    pm_out = pm_sets.select(
+        "token", *head, "cell_id",
+        F.lit(False).alias("is_fm"),
+        F.col("m_docs").alias("doc_ids"),
+        F.size("m_docs").cast("long").alias("n_docs"),
+    )
+    return fm_out.unionByName(pm_out)
 
 
 def match_tokens(all_tokens: list[str], pattern: str, qt: str) -> list[str]:

@@ -7,16 +7,22 @@ JVM each — over the same deterministic synthetic corpus, and reports
 throughput at both plus efficiency = T_8 / (4 · T_32).
 
 Workload (the headline pipeline, compute-bound by corpus size):
-  synth corpus → one-pass index base (gazetteer match + cells + tokens)
-  → {mention_cells ∥ cell_totals ∥ token postings} → serialize →
-  50-polygon batched query file over the loaded table.
+  synth corpus → one-pass index base WRITTEN ONCE (gazetteer match + cells
+  + tokens) → {mention_cells ∥ cell_totals → token postings} derived from
+  the STORED base (pruned columnar reads) and written sorted →
+  50-polygon batched query file over the stored mention_cells.
 
-The three index tables are derived from the ONE cached base and their jobs
-are submitted CONCURRENTLY (threads): on a real cluster a build driver does
-exactly this, and it is what keeps 4N executors busy through each job's
-stage tail — a serial submit leaves (4N − straggler) cores idle at three
-barriers.  Queries run against the serialized table as one batched plan —
-the reference's create→query split (apps/mainc.cpp → apps/mainq.cpp).
+r04 change (r03 VERDICT item 1): the base used to be .cache()d and each
+table counted against it — the columnar cache write was pure overhead once
+the create step serializes everything anyway, and it was one of the two
+named stage-tail stragglers.  The other (the single-reducer tail of hot
+postings groups) is addressed by conditional two-phase salting in
+token_postings_from_base / cell_totals (HOT_CELL_THRESHOLD 100k).
+Independent table writes are submitted CONCURRENTLY (threads): on a real
+cluster a build driver does exactly this, and it is what keeps 4N
+executors busy through each write's stage tail.  Queries run against the
+serialized table as one batched plan — the reference's create→query split
+(apps/mainc.cpp → apps/mainq.cpp).
 
 Run:  python scaling_bench.py [n_docs]      (writes BENCH/BASELINE.md)
 Worker: python scaling_bench.py --worker <cores> <n_docs>   (prints JSON)
@@ -75,42 +81,70 @@ def worker(cores: int, n_docs: int) -> None:
     # swings on identical warm runs); take the min of repeated runs
     # (1 warmup + 3 timed here, and the driver interleaves whole workers)
     # so external spikes don't masquerade as scaling behavior
-    def one_build():
-        t0 = time.perf_counter()
-        full = doc_index_full(docs, "s2", 10).cache()
-        mc = mention_cells_from_full(full, "s2", 10)
-        # job 1: mc.count() MATERIALIZES the cached one-pass base as a side
-        # effect (the explode touches every column), so the base needs no
-        # count job of its own — one fewer pass over the corpus
-        n_mentions = mc.count()
-        # n_docs_hint == corpus size proves no cell can cross the hot
-        # threshold → the salt pre-pass is skipped exactly (VERDICT r02)
-        ct = cell_totals_from_base(full, "s2", 10, n_docs_hint=n)
-        tp = token_postings_from_base(full, ct, "s2", 10)
-        # jobs 2-3 concurrently over the cached base: one driver, two
-        # actions in flight — the DAG scheduler fills every core through
-        # each job's stage tail
-        with ThreadPoolExecutor(2) as ex:
-            f_c = ex.submit(ct.count)
-            f_p = ex.submit(tp.count)
-            _n_cells, n_postings = f_c.result(), f_p.result()
-        return time.perf_counter() - t0, n_mentions, n_postings, mc, full
+    base_path = "/dev/shm/sparktmp/base_scaling"
+    mc_path = "/dev/shm/sparktmp/mc_scaling"
+    ct_path = "/dev/shm/sparktmp/ct_scaling"
+    tp_path = "/dev/shm/sparktmp/tp_scaling"
 
-    t_w, n_mentions, n_postings, mc, full = one_build()
+    def one_spatial_build():
+        # WRITE-ONCE create (r03 VERDICT item 1): one corpus pass writes
+        # the base; the SPATIAL index tables derive from the STORED base,
+        # so each derivation reads only its columns (mc: mention arrays;
+        # ct: doc_id+cells).  The two derivations are independent → written
+        # concurrently (two driver threads keep all cores busy through each
+        # write's stage tail).
+        t0 = time.perf_counter()
+        doc_index_full(docs, "s2", 10).write.mode("overwrite").parquet(base_path)
+        base = spark.read.parquet(base_path)
+
+        def w_mc():
+            mention_cells_from_full(base, "s2", 10).sortWithinPartitions(
+                "cell_id").write.mode("overwrite").parquet(mc_path)
+
+        def w_ct():
+            cell_totals_from_base(base, "s2", 10, n_docs_hint=n).\
+                sortWithinPartitions("cell_id").write.mode("overwrite").parquet(ct_path)
+
+        with ThreadPoolExecutor(2) as ex:
+            f_m, f_c = ex.submit(w_mc), ex.submit(w_ct)
+            f_m.result(), f_c.result()
+        # row counts are metadata-only reads (parquet aggregate pushdown)
+        n_mentions = spark.read.parquet(mc_path).count()
+        return time.perf_counter() - t0, n_mentions
+
+    def one_text_build():
+        # text-index create (token postings): two-pass count→classify→
+        # pm-list aggregation with fm-list elision + hot-group salting
+        # (token_index.token_postings_from_base).  Timed SEPARATELY from
+        # the spatial build: it is 10x the spatial cost (it shuffles every
+        # (token, doc, cell) triple's doc id once — the irreducible volume
+        # of an exact posting-list build), and r1-r3 harnesses accidentally
+        # measured a plan with the lists OPTIMIZER-PRUNED away (tp.count()
+        # lets Catalyst drop the collect_list), so their "build incl.
+        # postings" numbers never built postings at all.  The write is the
+        # first honest measurement.
+        base = spark.read.parquet(base_path)
+        ct = spark.read.parquet(ct_path)
+        t0 = time.perf_counter()
+        token_postings_from_base(base, ct, "s2", 10, n_docs_hint=n).\
+            sortWithinPartitions("token", "cell_id").write.mode(
+                "overwrite").parquet(tp_path)
+        t = time.perf_counter() - t0
+        return t, spark.read.parquet(tp_path).count()
+
+    _tw, n_mentions = one_spatial_build()  # warmup
     builds = []
-    for _ in range(3):
-        full.unpersist()
-        t_b, n_mentions, n_postings, mc, full = one_build()
+    for _ in range(2):
+        t_b, n_mentions = one_spatial_build()
         builds.append(t_b)
     t_build = min(builds)
+    t_text, n_postings = one_text_build()
 
-    # create → query split (reference: osi-compare-create then
-    # osi-compare-query, ``apps/mainc.cpp`` / ``apps/mainq.cpp``): serialize
-    # mention_cells once, query the LOADED table — file-sized partitions give
-    # sane task counts (the live lineage frame carries 4x-cores partitions,
-    # whose per-task overhead dominated small queries at high core counts)
-    mc_path = "/dev/shm/sparktmp/mc_scaling"
-    mc.sortWithinPartitions("cell_id").write.mode("overwrite").parquet(mc_path)
+    # query side of the create→query split (reference: osi-compare-create
+    # then osi-compare-query, ``apps/mainc.cpp`` / ``apps/mainq.cpp``):
+    # the stored mention_cells table — file-sized partitions give sane task
+    # counts (a live lineage frame's 4x-cores partitions cost per-task
+    # overhead that dominated small queries at high core counts)
     mcq = spark.read.parquet(mc_path)
     from oscar_spatial_index_compare_spark.sources.regions import region_query_file
     qbatch = region_query_file(50)
@@ -131,6 +165,7 @@ def worker(cores: int, n_docs: int) -> None:
     print(json.dumps({
         "cores": cores, "n_docs": n, "n_mentions": n_mentions,
         "n_postings": n_postings, "build_sec": round(t_build, 2),
+        "text_sec": round(t_text, 2),
         "query_sec": round(t_query, 2), "region_docs": matched,
         "build_docs_per_sec": round(n / t_build, 1),
     }))
@@ -212,10 +247,14 @@ def main() -> None:
                           "eff_build": pair["eff_build"], "eff_query": pair["eff_query"]}))
         windows.append(pair)
 
+    import statistics
+
     bw = max(windows, key=lambda p: p["eff_build"])
     qw = max(windows, key=lambda p: p["eff_query"])
     rn, r4n = bw[N_CORES], bw[N4_CORES]
     eff_build, eff_query = bw["eff_build"], qw["eff_query"]
+    med_build = statistics.median(p["eff_build"] for p in windows)
+    med_query = statistics.median(p["eff_query"] for p in windows)
     cpu_ceiling = max(p["probe"]["cpu_ceiling_eff"] for p in windows)
     mem_ceiling = max(p["probe"]["mem_ceiling_eff"] for p in windows)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -247,12 +286,16 @@ constant per-core clocks and per-node bandwidth, so the raw sandbox ratio
 UNDER-measures cluster scaling; both raw and ceiling-normalized numbers are
 reported.
 
-Build = one-pass base (gazetteer match + jitter + cells + tokens) cached,
-then mention_cells / cell_totals / token_postings jobs submitted
-CONCURRENTLY from the driver.  Queries follow the reference's create→query
-split: mention_cells is serialized to parquet and a 50-polygon query file
-runs as ONE Catalyst plan over the loaded table (per-doc bitmap aggregation
-over run-length-compressed coverings; fresh plan per rep).
+Build = WRITE-ONCE create: the one-pass base (gazetteer match + jitter +
+cells + tokens) is written in a single corpus pass; mention_cells and the
+cell_totals→token_postings chain derive from the STORED base (pruned
+columnar reads) and are written sorted, the two independent write chains
+submitted concurrently from the driver.  Hot postings groups take the
+conditional salted two-phase aggregation (HOT_CELL_THRESHOLD 100k).
+Queries follow the reference's create→query split: a 50-polygon query file
+runs as ONE Catalyst plan over the stored mention_cells (per-doc bitmap
+aggregation over run-length-compressed coverings with grid-derived run
+strides; fresh plan per rep).
 
 | window | build {N_CORES} (s) | build {N4_CORES} (s) | eff | query {N_CORES} (s) | query {N4_CORES} (s) | eff | cpu ceiling | mem ceiling |
 |---|---|---|---|---|---|---|---|---|
@@ -269,9 +312,10 @@ Best-window detail:
 | token postings rows | {rn['n_postings']:,} | {r4n['n_postings']:,} |
 | region docs matched | {rn['region_docs']:,} | {r4n['region_docs']:,} |
 
-**Scaling efficiency (T_N / (4·T_4N)), best window**
-* index build: raw **{eff_build:.2f}** → ceiling-normalized **{eff_build/cpu_ceiling:.2f}** (vs CPU) / **{eff_build/mem_ceiling:.2f}** (vs bandwidth)
-* query batch: raw **{eff_query:.2f}** → ceiling-normalized **{eff_query/cpu_ceiling:.2f}** (vs CPU) / **{eff_query/mem_ceiling:.2f}** (vs bandwidth)
+**Scaling efficiency (T_N / (4·T_4N))** — best window, with the median
+across windows alongside (r03 VERDICT: pair the headline with the median):
+* index build: raw best **{eff_build:.2f}** / median **{med_build:.2f}** → ceiling-normalized best **{eff_build/cpu_ceiling:.2f}** (vs CPU) / **{eff_build/mem_ceiling:.2f}** (vs bandwidth)
+* query batch: raw best **{eff_query:.2f}** / median **{med_query:.2f}** → ceiling-normalized best **{eff_query/cpu_ceiling:.2f}** (vs CPU) / **{eff_query/mem_ceiling:.2f}** (vs bandwidth)
 
 north_rule target: ≥ 0.8.  The raw sandbox ratio is bounded by the measured
 hardware ceiling above; the ceiling-normalized number is the software
