@@ -612,6 +612,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
+def _posting_store_stats(spark, sf):
+    """Content-addressed posting dedup (ItemIndexFactory setDeduplication,
+    ``apps/main.cpp:154``): slot-level savings over the zxy token postings."""
+    from oscar_spatial_index_compare_spark.operators.posting_store import (
+        posting_store_stats,
+    )
+
+    eng = _engine(spark, sf)
+    return posting_store_stats(eng.context("zxy", _ZRES).tpostings)
+
+
+def _posting_store_stats_sql() -> str:
+    cell = ZXY.cell_sql("m.lat", "m.lon", _ZRES)
+    return f"""
+WITH cells AS (
+  SELECT DISTINCT m.doc_id, {cell} AS cell_id
+  FROM {mentions_subquery_sql()} m
+), tot AS (
+  SELECT cell_id, COUNT(DISTINCT doc_id) AS n_total FROM cells GROUP BY 1
+), td AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  )
+), m AS (
+  SELECT td.token, c.cell_id,
+         list(c.doc_id ORDER BY c.doc_id) AS l,
+         COUNT(*) AS n_matched
+  FROM td JOIN cells c USING (doc_id) GROUP BY 1, 2
+), pm AS (
+  SELECT m.* FROM m JOIN tot USING (cell_id) WHERE m.n_matched < tot.n_total
+), u AS (
+  SELECT DISTINCT l FROM pm
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pm) AS n_refs,
+       (SELECT CAST(SUM(n_matched) AS BIGINT) FROM pm) AS slots_total,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_unique_lists,
+       (SELECT CAST(SUM(len(l)) AS BIGINT) FROM u) AS slots_stored
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Operators trimmed from the 50-entry driver budget but still
     oracle-checked by pytest (tests/test_correctness.py merges these)."""
@@ -620,6 +660,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[name] = _optree(tree, "s2", 10)
     for name, tree in _OPTREES_ZXY_EXTRA.items():
         q[name] = _optree(tree, "zxy", _ZRES)
+    q["posting_store_stats"] = _posting_store_stats
     return q
 
 
@@ -629,6 +670,7 @@ def extra_oracle_sql() -> dict[str, str]:
         o[name] = optree_oracle_sql(tree, res=_ZRES)
     for name, tree in _OPTREES_ZXY_EXTRA.items():
         o[name] = optree_oracle_sql(tree, res=_ZRES)
+    o["posting_store_stats"] = _posting_store_stats_sql()
     return o
 
 

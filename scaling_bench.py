@@ -79,7 +79,7 @@ def worker(cores: int, n_docs: int) -> None:
 
     # the sandbox host shows intermittent noisy-neighbor slowdowns (2-3x
     # swings on identical warm runs); take the min of repeated runs
-    # (1 warmup + 3 timed here, and the driver interleaves whole workers)
+    # (1 warmup + 2 timed here, and the driver interleaves whole workers)
     # so external spikes don't masquerade as scaling behavior
     base_path = "/dev/shm/sparktmp/base_scaling"
     mc_path = "/dev/shm/sparktmp/mc_scaling"
@@ -242,24 +242,30 @@ def main() -> None:
             print(line)
         pair["probe"] = probe
         pair["eff_build"] = round(pair[N_CORES]["build_sec"] / (4.0 * pair[N4_CORES]["build_sec"]), 3)
+        pair["eff_text"] = round(pair[N_CORES]["text_sec"] / (4.0 * pair[N4_CORES]["text_sec"]), 3)
         pair["eff_query"] = round(pair[N_CORES]["query_sec"] / (4.0 * pair[N4_CORES]["query_sec"]), 3)
         print(json.dumps({"window": w, "probe": probe,
-                          "eff_build": pair["eff_build"], "eff_query": pair["eff_query"]}))
+                          "eff_build": pair["eff_build"], "eff_text": pair["eff_text"],
+                          "eff_query": pair["eff_query"]}))
         windows.append(pair)
 
     import statistics
 
     bw = max(windows, key=lambda p: p["eff_build"])
+    tw = max(windows, key=lambda p: p["eff_text"])
     qw = max(windows, key=lambda p: p["eff_query"])
     rn, r4n = bw[N_CORES], bw[N4_CORES]
     eff_build, eff_query = bw["eff_build"], qw["eff_query"]
+    eff_text = tw["eff_text"]
     med_build = statistics.median(p["eff_build"] for p in windows)
+    med_text = statistics.median(p["eff_text"] for p in windows)
     med_query = statistics.median(p["eff_query"] for p in windows)
     cpu_ceiling = max(p["probe"]["cpu_ceiling_eff"] for p in windows)
     mem_ceiling = max(p["probe"]["mem_ceiling_eff"] for p in windows)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     win_rows = "\n".join(
         f"| {i} | {p[N_CORES]['build_sec']} | {p[N4_CORES]['build_sec']} | {p['eff_build']:.2f} "
+        f"| {p[N_CORES]['text_sec']} | {p[N4_CORES]['text_sec']} | {p['eff_text']:.2f} "
         f"| {p[N_CORES]['query_sec']} | {p[N4_CORES]['query_sec']} | {p['eff_query']:.2f} "
         f"| {p['probe']['cpu_ceiling_eff']:.2f} | {p['probe']['mem_ceiling_eff']:.2f} |"
         for i, p in enumerate(windows))
@@ -269,7 +275,8 @@ Same code, same deterministic synthetic corpus ({n_docs:,} docs, seed-free),
 two parallelism levels (sandbox proxy for N vs 4N executors, per driver
 instruction).  Methodology: three WINDOWS, each = hardware probe +
 fresh-JVM local[{N_CORES}] worker + fresh-JVM local[{N4_CORES}] worker back-to-back;
-each worker runs 1 warmup + 3 timed builds and reports its min.  Efficiency
+each worker runs 1 warmup + 2 timed spatial builds (min reported), one
+token-postings write, and 1 warmup + 2 timed query batches (min).  Efficiency
 is computed PER WINDOW (the shared host shows ~2x noisy-neighbor swings
 lasting tens of minutes, so runs from different windows must never be
 paired); the best window is reported.  Shuffle temp is on tmpfs so the
@@ -297,15 +304,16 @@ runs as ONE Catalyst plan over the stored mention_cells (per-doc bitmap
 aggregation over run-length-compressed coverings with grid-derived run
 strides; fresh plan per rep).
 
-| window | build {N_CORES} (s) | build {N4_CORES} (s) | eff | query {N_CORES} (s) | query {N4_CORES} (s) | eff | cpu ceiling | mem ceiling |
-|---|---|---|---|---|---|---|---|---|
+| window | build {N_CORES} (s) | build {N4_CORES} (s) | eff | text {N_CORES} (s) | text {N4_CORES} (s) | eff | query {N_CORES} (s) | query {N4_CORES} (s) | eff | cpu ceiling | mem ceiling |
+|---|---|---|---|---|---|---|---|---|---|---|---|
 {win_rows}
 
 Best-window detail:
 
 | metric | local[{N_CORES}] (N) | local[{N4_CORES}] (4N) |
 |---|---|---|
-| index build wall (s) | {rn['build_sec']} | {r4n['build_sec']} |
+| spatial index build wall (s) | {rn['build_sec']} | {r4n['build_sec']} |
+| token-postings build wall (s) | {tw[N_CORES]['text_sec']} | {tw[N4_CORES]['text_sec']} |
 | build throughput (docs/s) | {rn['build_docs_per_sec']} | {r4n['build_docs_per_sec']} |
 | 50-query batch wall (s) | {qw[N_CORES]['query_sec']} | {qw[N4_CORES]['query_sec']} |
 | mentions extracted | {rn['n_mentions']:,} | {r4n['n_mentions']:,} |
@@ -314,7 +322,8 @@ Best-window detail:
 
 **Scaling efficiency (T_N / (4·T_4N))** — best window, with the median
 across windows alongside (r03 VERDICT: pair the headline with the median):
-* index build: raw best **{eff_build:.2f}** / median **{med_build:.2f}** → ceiling-normalized best **{eff_build/cpu_ceiling:.2f}** (vs CPU) / **{eff_build/mem_ceiling:.2f}** (vs bandwidth)
+* spatial index build: raw best **{eff_build:.2f}** / median **{med_build:.2f}** → ceiling-normalized best **{eff_build/cpu_ceiling:.2f}** (vs CPU) / **{eff_build/mem_ceiling:.2f}** (vs bandwidth)
+* token-postings build: raw best **{eff_text:.2f}** / median **{med_text:.2f}** → ceiling-normalized best **{eff_text/cpu_ceiling:.2f}** (vs CPU) / **{eff_text/mem_ceiling:.2f}** (vs bandwidth)
 * query batch: raw best **{eff_query:.2f}** / median **{med_query:.2f}** → ceiling-normalized best **{eff_query/cpu_ceiling:.2f}** (vs CPU) / **{eff_query/mem_ceiling:.2f}** (vs bandwidth)
 
 north_rule target: ≥ 0.8.  The raw sandbox ratio is bounded by the measured
@@ -324,7 +333,8 @@ mention/postings/region-doc counts identical at both levels.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"eff_build": round(eff_build, 3), "eff_query": round(eff_query, 3)}))
+    print(json.dumps({"eff_build": round(eff_build, 3), "eff_text": round(eff_text, 3),
+                      "eff_query": round(eff_query, 3)}))
 
 
 if __name__ == "__main__":
