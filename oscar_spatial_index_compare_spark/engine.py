@@ -51,10 +51,19 @@ class Engine:
     RESULT_CACHE_CAP = 64
 
     def __init__(self, spark: SparkSession, sf_dir: str, cache: bool = True,
-                 catalog_root: str | None = None):
+                 catalog_root: str | None = None, posting_store: bool = False):
         self.spark = spark
         self.sf_dir = sf_dir
         self.cache = cache
+        # serialization-layer option (requires catalog mode) — the
+        # reference's create-time index deduplication flag
+        # (``setDeduplication(true)``, ``apps/main.cpp:154``): token
+        # postings are stored as (refs, distinct-list dictionary) and
+        # resolved lazily at query time
+        self.posting_store = posting_store
+        if posting_store and catalog_root is None:
+            raise ValueError("posting_store requires catalog_root "
+                             "(it is a serialization-layer option)")
         self.catalog = None
         if catalog_root is not None:
             from .sources.catalog import Catalog
@@ -128,12 +137,51 @@ class Engine:
                     f"cell_totals_{suffix}", "cell_totals",
                     [f"index_base_{suffix}"], sort_within=["cell_id"],
                     params=params)
-                tp = self.catalog.materialize(
-                    token_postings_from_base(base, ct, grid, res,
-                                             n_docs_hint=self.n_docs()),
-                    f"token_postings_{suffix}", "token_postings",
-                    [f"index_base_{suffix}", f"cell_totals_{suffix}"],
-                    sort_within=["token", "cell_id"], params=params)
+                tp_raw = token_postings_from_base(base, ct, grid, res,
+                                                  n_docs_hint=self.n_docs())
+                # the store is a property OF THE CATALOG, not the session:
+                # a query-side Engine opened without the flag must still
+                # read a --dedup catalog through the refs+dictionary
+                # (otherwise the checkpoint gate misses token_postings and
+                # silently rebuilds the inline table the create step
+                # deliberately never wrote)
+                use_store = self.posting_store or bool(
+                    self.catalog.snapshots(f"posting_lists_{suffix}"))
+                if use_store:
+                    # content-addressed split (``apps/main.cpp:154``): the
+                    # dictionary of distinct lists and the id-refs table are
+                    # what hit disk; queries see the lazily re-resolved view.
+                    # The collision audit runs ON THE STORED dictionary (one
+                    # tiny aggregation) and fails the create step hard — a
+                    # 64-bit key collision must never reach queries.
+                    from .operators.posting_store import (
+                        posting_store_build,
+                        posting_store_collisions,
+                        resolve_postings,
+                    )
+
+                    store, refs = posting_store_build(tp_raw)
+                    store_t = self.catalog.materialize(
+                        store, f"posting_lists_{suffix}", "posting_lists",
+                        [f"index_base_{suffix}", f"cell_totals_{suffix}"],
+                        sort_within=["list_id"], params=params)
+                    refs_t = self.catalog.materialize(
+                        refs, f"token_postings_refs_{suffix}",
+                        "token_postings_refs",
+                        [f"index_base_{suffix}", f"cell_totals_{suffix}"],
+                        sort_within=["token", "cell_id"], params=params)
+                    n_bad = posting_store_collisions(store_t)
+                    if n_bad:
+                        raise RuntimeError(
+                            f"posting store: {n_bad} list_id collisions — "
+                            "rebuild with a wider content key")
+                    tp = resolve_postings(refs_t, store_t)
+                else:
+                    tp = self.catalog.materialize(
+                        tp_raw,
+                        f"token_postings_{suffix}", "token_postings",
+                        [f"index_base_{suffix}", f"cell_totals_{suffix}"],
+                        sort_within=["token", "cell_id"], params=params)
             else:
                 # in-memory mode: ONE cached frame feeds every index table
                 # (the gazetteer match runs once per corpus pass);

@@ -48,10 +48,15 @@ def posting_store_build(tpostings: DataFrame) -> tuple[DataFrame, DataFrame]:
         "list_id",
         F.when(F.col("doc_ids").isNotNull(), F.xxhash64("doc_ids")),
     ).drop("doc_ids")
+    # dedup on (id, list) — identical to dedup on id alone when the key is
+    # collision-free, and it means a collision SURVIVES into the store as
+    # two rows sharing a list_id, where posting_store_collisions catches it
+    # with one aggregation over the (small) dictionary instead of a second
+    # pass over the postings
     store = (
         tpostings.where(F.col("doc_ids").isNotNull())
         .select(F.xxhash64("doc_ids").alias("list_id"), "doc_ids")
-        .dropDuplicates(["list_id"])
+        .dropDuplicates(["list_id", "doc_ids"])
     )
     return store, refs
 
@@ -76,16 +81,13 @@ def resolve_postings(refs: DataFrame, store: DataFrame) -> DataFrame:
     return out.select(*ordered)
 
 
-def posting_store_collisions(store: DataFrame, tpostings: DataFrame) -> int:
+def posting_store_collisions(store: DataFrame) -> int:
     """Create-step audit: number of list_ids carrying >1 distinct list
     (must be 0; a nonzero count demands a wider content key).  One
-    aggregation over the distinct (list_id, list) pairs."""
-    pairs = (
-        tpostings.where(F.col("doc_ids").isNotNull())
-        .select(F.xxhash64("doc_ids").alias("list_id"), "doc_ids")
-        .dropDuplicates(["list_id", "doc_ids"])
-    )
-    bad = pairs.groupBy("list_id").count().where(F.col("count") > 1)
+    aggregation over the dictionary — the store keeps colliding lists as
+    separate rows (build dedups on (id, list)) exactly so this check never
+    needs the full postings table."""
+    bad = store.groupBy("list_id").count().where(F.col("count") > 1)
     return bad.count()
 
 

@@ -230,16 +230,37 @@ def region_query_batch_counts(
             # membership predicate per mention row (range comparisons over
             # the run-length-compressed pruned covering — exact, because
             # level-R ids are step-aligned so BETWEEN covers exactly the
-            # run members), groupBy(doc_id) → max per query, then one tiny
-            # sum.  No join fan-out (the dim join multiplies hot-cell rows
-            # by their matching-query count → memory-bandwidth-bound, the
-            # measured scaling cap), no (query, doc) dedup shuffle, and
-            # predicates are SQL STRINGS — ~50 py4j calls instead of ~10^4
-            # Column-building round-trips (measured ~5s of driver wall).
-            aggs = [F.expr(f"max({p})").alias(n) for n, p in preds]
-            bits = probe.groupBy("doc_id").agg(*aggs)
+            # run members), groupBy(doc_id) → bit_or of a PACKED bitmask,
+            # then one tiny sum.  No join fan-out (the dim join multiplies
+            # hot-cell rows by their matching-query count →
+            # memory-bandwidth-bound, the measured scaling cap), no
+            # (query, doc) dedup shuffle, and predicates are SQL STRINGS —
+            # ~50 py4j calls instead of ~10^4 Column-building round-trips
+            # (measured ~5s of driver wall).
+            #
+            # Packing matters at scale (r04 scaling gate): one BIGINT per
+            # 62 queries of aggregation state instead of one boolean slot
+            # per query — the groupBy(doc_id) hash map shrinks ~10x, so
+            # map-side partials stay cache-resident and the shuffle carries
+            # (doc_id, long) rows.  62 bits per chunk keeps every mask
+            # positive (no sign-extension edge cases anywhere).
+            CHUNK = 62
+            chunks = [preds[i:i + CHUNK] for i in range(0, len(preds), CHUNK)]
+            mask_cols = [
+                F.expr(" | ".join(
+                    f"(CAST(({p}) AS BIGINT) << {b})"
+                    for b, (_n, p) in enumerate(ch)
+                )).alias(f"_m{ci}")
+                for ci, ch in enumerate(chunks)
+            ]
+            bits = probe.select("doc_id", *mask_cols).groupBy("doc_id").agg(
+                *[F.expr(f"bit_or(_m{ci})").alias(f"_m{ci}")
+                  for ci in range(len(chunks))]
+            )
             sums = bits.agg(*[
-                F.expr(f"sum(cast(`{n}` as bigint))").alias(n) for n, _p in preds
+                F.expr(f"sum((_m{ci} >> {b}) & 1)").alias(n)
+                for ci, ch in enumerate(chunks)
+                for b, (n, _p) in enumerate(ch)
             ])
             stack_args = ", ".join(f"'{n}', `{n}`" for n, _p in preds)
             return sums.select(F.expr(

@@ -103,3 +103,45 @@ def test_region_batch_fallback_parity(spark, engine, monkeypatch):
     b = sorted(map(tuple, rq.region_query_batch(
         spark, ctx.mcells, regs, "s2", 10).collect()))
     assert a == b
+
+
+@pytest.fixture(scope="module")
+def ps_engine(spark):
+    from oscar_spatial_index_compare_spark.engine import Engine
+
+    root = tempfile.mkdtemp(prefix="osi_ps_")
+    return Engine(spark, SF_DIR, catalog_root=root, posting_store=True)
+
+
+def test_posting_store_engine_matches_lazy(engine, ps_engine):
+    # the content-addressed serialization (apps/main.cpp:154) must be
+    # invisible to queries: resolve(refs, store) == inline postings
+    for q in ["join / window", "dup ^ spark", "jo*"]:
+        assert _docs(ps_engine, q) == _docs(engine, q)
+
+
+def test_posting_store_tables_on_disk(ps_engine):
+    ps_engine.context("s2", 10)
+    assert len(ps_engine.catalog.snapshots("posting_lists_s2_10")) == 1
+    assert len(ps_engine.catalog.snapshots("token_postings_refs_s2_10")) == 1
+    # inline token_postings must NOT have been written in this mode
+    assert len(ps_engine.catalog.snapshots("token_postings_s2_10")) == 0
+
+
+def test_posting_store_autodetected_by_query_engine(spark, ps_engine, engine):
+    # query-side open WITHOUT the flag (the CLI's `query` path): the store
+    # tables in the catalog must be detected and read — NOT silently
+    # shadowed by a fresh inline token_postings build
+    from oscar_spatial_index_compare_spark.engine import Engine
+
+    ps_engine.context("s2", 10)  # ensure the store catalog exists
+    q_eng = Engine(spark, SF_DIR, catalog_root=ps_engine.catalog.root)
+    assert _docs(q_eng, "join / window") == _docs(engine, "join / window")
+    assert len(q_eng.catalog.snapshots("token_postings_s2_10")) == 0
+
+
+def test_posting_store_requires_catalog(spark):
+    from oscar_spatial_index_compare_spark.engine import Engine
+
+    with pytest.raises(ValueError):
+        Engine(spark, SF_DIR, posting_store=True)

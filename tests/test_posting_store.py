@@ -58,10 +58,17 @@ def test_resolve_is_exact_inverse(spark):
     assert got == want
 
 
+def test_collision_audit_flags_duplicate_ids(spark):
+    # a forged 64-bit collision: two distinct lists sharing one list_id
+    forged = spark.createDataFrame(
+        [(11, [1, 2]), (11, [3]), (22, [4])], "list_id long, doc_ids array<long>")
+    assert posting_store_collisions(forged) == 1
+
+
 def test_no_collisions_and_exact_stats(spark):
     tp = _tp(spark)
     store, _refs = posting_store_build(tp)
-    assert posting_store_collisions(store, tp) == 0
+    assert posting_store_collisions(store) == 0
     row = posting_store_stats(tp).collect()[0]
     assert row.n_refs == 5
     assert row.slots_total == 3 + 1 + 3 + 1 + 3
