@@ -27,7 +27,7 @@ from .operators.index_build import (
     mention_cells_from_full,
 )
 from .operators.mentions import extract_mentions
-from .operators.token_index import token_postings_from_base
+from .operators.token_index import sorted_list_agg, token_postings_from_base
 from .plans.planner import Planner, QueryContext
 from .sources.tables import load
 
@@ -131,12 +131,13 @@ class Engine:
                     f"mention_cells_{suffix}", "mention_cells",
                     [f"index_base_{suffix}"], sort_within=["cell_id"],
                     params=params)
-                ct = self.catalog.materialize(
-                    cell_totals_from_base(base, grid, res,
-                                          n_docs_hint=self.n_docs()),
-                    f"cell_totals_{suffix}", "cell_totals",
-                    [f"index_base_{suffix}"], sort_within=["cell_id"],
-                    params=params)
+                with sorted_list_agg(self.spark):
+                    ct = self.catalog.materialize(
+                        cell_totals_from_base(base, grid, res,
+                                              n_docs_hint=self.n_docs()),
+                        f"cell_totals_{suffix}", "cell_totals",
+                        [f"index_base_{suffix}"], sort_within=["cell_id"],
+                        params=params)
                 tp_raw = token_postings_from_base(base, ct, grid, res,
                                                   n_docs_hint=self.n_docs())
                 # the store is a property OF THE CATALOG, not the session:
@@ -161,15 +162,18 @@ class Engine:
                     )
 
                     store, refs = posting_store_build(tp_raw)
-                    store_t = self.catalog.materialize(
-                        store, f"posting_lists_{suffix}", "posting_lists",
-                        [f"index_base_{suffix}", f"cell_totals_{suffix}"],
-                        sort_within=["list_id"], params=params)
-                    refs_t = self.catalog.materialize(
-                        refs, f"token_postings_refs_{suffix}",
-                        "token_postings_refs",
-                        [f"index_base_{suffix}", f"cell_totals_{suffix}"],
-                        sort_within=["token", "cell_id"], params=params)
+                    # both store/refs writes run the pm collect_list plan —
+                    # sort-based list agg (see token_postings_from_base)
+                    with sorted_list_agg(self.spark):
+                        store_t = self.catalog.materialize(
+                            store, f"posting_lists_{suffix}", "posting_lists",
+                            [f"index_base_{suffix}", f"cell_totals_{suffix}"],
+                            sort_within=["list_id"], params=params)
+                        refs_t = self.catalog.materialize(
+                            refs, f"token_postings_refs_{suffix}",
+                            "token_postings_refs",
+                            [f"index_base_{suffix}", f"cell_totals_{suffix}"],
+                            sort_within=["token", "cell_id"], params=params)
                     n_bad = posting_store_collisions(store_t)
                     if n_bad:
                         raise RuntimeError(
@@ -177,11 +181,12 @@ class Engine:
                             "rebuild with a wider content key")
                     tp = resolve_postings(refs_t, store_t)
                 else:
-                    tp = self.catalog.materialize(
-                        tp_raw,
-                        f"token_postings_{suffix}", "token_postings",
-                        [f"index_base_{suffix}", f"cell_totals_{suffix}"],
-                        sort_within=["token", "cell_id"], params=params)
+                    with sorted_list_agg(self.spark):
+                        tp = self.catalog.materialize(
+                            tp_raw,
+                            f"token_postings_{suffix}", "token_postings",
+                            [f"index_base_{suffix}", f"cell_totals_{suffix}"],
+                            sort_within=["token", "cell_id"], params=params)
             else:
                 # in-memory mode: ONE cached frame feeds every index table
                 # (the gazetteer match runs once per corpus pass);

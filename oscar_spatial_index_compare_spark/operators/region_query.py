@@ -218,32 +218,40 @@ def region_query_batch_counts(
 ) -> DataFrame:
     """→ DataFrame(region, n_docs) for a batch of polygons — the benchmark
     shape (the reference benchmark reports per-query result COUNTS,
-    ``apps/mainq.cpp:238-239``).  Same single-plan lowering as
-    region_query_batch but aggregating counts directly (no doc-id
-    materialization in the result)."""
+    ``apps/mainq.cpp:238-239``).
+
+    Primary lowering (r04): the broadcast covering-dimension join of
+    ``_batch_dim`` feeding a PACKED per-doc bitmap aggregation.  Per
+    mention row the membership test is ONE hash probe into the broadcast
+    ``(cell_id, rid, needs_pip)`` dimension (+ PIP only on boundary-tagged
+    matches) — O(1) per row regardless of covering size.  The previous
+    primary (membership as run-length BETWEEN chains evaluated per row)
+    was O(total_runs) per row: exact after the r03-ADVICE stride fix, but
+    that fix fragmented gappy coverings into thousands of runs and the
+    scan went compute-bound (measured 22s for 50 polygons over 1.7M
+    mention rows vs <2s for the dim join).  It remains the fallback when
+    the combined covering outgrows MAX_LITERAL_CELLS but its runs still
+    fit MAX_BATCH_RUNS.
+
+    Packing matters at scale (r04 scaling gate): one BIGINT per 62 queries
+    of aggregation state instead of one boolean slot per query — the
+    groupBy(doc_id) hash map shrinks ~10x, so map-side partials stay
+    cache-resident and the shuffle carries (doc_id, long) rows; the join
+    fan-out (a mention row duplicated per matching query) is collapsed by
+    the same map-side bit_or.  62 bits per chunk keeps every mask positive
+    (no sign-extension edge cases anywhere)."""
     probe = mcells.where((F.col("grid") == grid) & (F.col("res") == res))
     pop = populated_cells(probe, (id(mcells), grid, res), source=mcells)
     if pop is not None:
+        dim = _batch_dim(spark, probe, regions, grid, res, pop)
+        if dim is not None:
+            j, names = dim
+            return _mask_counts(j, names)
         preds = _batch_preds_sql(regions, grid, res, pop)
         if preds is not None:
-            # per-doc bitmap aggregation: ONE scan evaluating every query's
-            # membership predicate per mention row (range comparisons over
-            # the run-length-compressed pruned covering — exact, because
-            # level-R ids are step-aligned so BETWEEN covers exactly the
-            # run members), groupBy(doc_id) → bit_or of a PACKED bitmask,
-            # then one tiny sum.  No join fan-out (the dim join multiplies
-            # hot-cell rows by their matching-query count →
-            # memory-bandwidth-bound, the measured scaling cap), no
-            # (query, doc) dedup shuffle, and predicates are SQL STRINGS —
-            # ~50 py4j calls instead of ~10^4 Column-building round-trips
-            # (measured ~5s of driver wall).
-            #
-            # Packing matters at scale (r04 scaling gate): one BIGINT per
-            # 62 queries of aggregation state instead of one boolean slot
-            # per query — the groupBy(doc_id) hash map shrinks ~10x, so
-            # map-side partials stay cache-resident and the shuffle carries
-            # (doc_id, long) rows.  62 bits per chunk keeps every mask
-            # positive (no sign-extension edge cases anywhere).
+            # fallback bitmap over run-length BETWEEN predicates — SQL
+            # STRINGS: ~50 py4j calls instead of ~10^4 Column-building
+            # round-trips (measured ~5s of driver wall)
             CHUNK = 62
             chunks = [preds[i:i + CHUNK] for i in range(0, len(preds), CHUNK)]
             mask_cols = [
@@ -257,15 +265,8 @@ def region_query_batch_counts(
                 *[F.expr(f"bit_or(_m{ci})").alias(f"_m{ci}")
                   for ci in range(len(chunks))]
             )
-            sums = bits.agg(*[
-                F.expr(f"sum((_m{ci} >> {b}) & 1)").alias(n)
-                for ci, ch in enumerate(chunks)
-                for b, (n, _p) in enumerate(ch)
-            ])
-            stack_args = ", ".join(f"'{n}', `{n}`" for n, _p in preds)
-            return sums.select(F.expr(
-                f"stack({len(preds)}, {stack_args}) AS (region, n_docs)"
-            )).select("region", F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"))
+            names = [n for n, _p in preds]
+            return _mask_sums(bits, names)
     parts = []
     for name, poly in regions:
         d = region_query_docs(spark, mcells, poly, grid, res)
@@ -277,6 +278,41 @@ def region_query_batch_counts(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _mask_counts(j: DataFrame, names: list[str]) -> DataFrame:
+    """(rows with ``rid``, ``doc_id``) → (region, n_docs) via the packed
+    per-doc bitmap aggregation: per row the mask is one shifted bit of
+    rid's chunk, groupBy(doc_id) bit_or collapses the join fan-out
+    map-side, one tiny sum unpacks per-query counts."""
+    CHUNK = 62
+    nch = max(1, (len(names) + CHUNK - 1) // CHUNK)
+    mask_cols = [
+        F.expr(
+            f"CASE WHEN rid >= {ci * CHUNK} AND rid < {(ci + 1) * CHUNK} "
+            f"THEN shiftleft(1L, CAST(rid - {ci * CHUNK} AS INT)) "
+            f"ELSE 0L END"
+        ).alias(f"_m{ci}")
+        for ci in range(nch)
+    ]
+    bits = j.select("doc_id", *mask_cols).groupBy("doc_id").agg(
+        *[F.expr(f"bit_or(_m{ci})").alias(f"_m{ci}") for ci in range(nch)]
+    )
+    return _mask_sums(bits, names)
+
+
+def _mask_sums(bits: DataFrame, names: list[str]) -> DataFrame:
+    """(doc_id, _m0.._mK packed masks) → (region, n_docs): one global sum
+    per bit, unpacked to rows with stack()."""
+    CHUNK = 62
+    sums = bits.agg(*[
+        F.expr(f"sum((_m{i // CHUNK} >> {i % CHUNK}) & 1)").alias(n)
+        for i, n in enumerate(names)
+    ])
+    stack_args = ", ".join(f"'{n}', `{n}`" for n in names)
+    return sums.select(F.expr(
+        f"stack({len(names)}, {stack_args}) AS (region, n_docs)"
+    )).select("region", F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"))
 
 
 def _runs(arr: np.ndarray, step: int) -> list:
@@ -400,13 +436,18 @@ def _batch_dim(
     dim = spark.createDataFrame(
         pd.DataFrame(rows, columns=["cell_id", "rid", "needs_pip"]))
     j = probe.join(F.broadcast(dim), "cell_id")
-    pip_case = F.lit(False)
-    for rid, (_name, poly, _fulls, bnd) in enumerate(per_region):
-        if len(bnd):
-            pip_case = F.when(
-                F.col("rid") == rid, pip_col(F.col("lat"), F.col("lon"), poly)
-            ).otherwise(pip_case)
-    return j.where(~F.col("needs_pip") | pip_case), names
+    # the PIP gate is ONE SQL string: building the equivalent CASE from
+    # pip_col Column objects cost ~3s of py4j round-trips per 50-polygon
+    # batch (measured r04) — the same driver-wall trap _batch_preds_sql
+    # already avoids; CASE evaluates only the matching rid's branch
+    from ..functions.geo import pip_sql
+    whens = " ".join(
+        f"WHEN rid = {rid} THEN ({pip_sql('lat', 'lon', poly)})"
+        for rid, (_name, poly, _fulls, bnd) in enumerate(per_region)
+        if len(bnd))
+    gate = ("(NOT needs_pip)" if not whens
+            else f"(NOT needs_pip) OR (CASE {whens} ELSE false END)")
+    return j.where(F.expr(gate)), names
 
 
 def _one_region_parts(

@@ -27,8 +27,35 @@ plan time and union exact postings — on Spark the lazy union plan beats
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_OBJ_HASH_AGG_CONF = "spark.sql.execution.useObjectHashAggregateExec"
+
+
+@contextmanager
+def sorted_list_agg(spark):
+    """Scope a terminal action so collect_list groupBys plan as
+    SortAggregate instead of ObjectHashAggregate.
+
+    For posting-list builds (tens of millions of appended values across
+    ~10^5 groups) the object-hash buffer churn made the list pass 3-4x
+    slower than a shuffle-sort + streaming append (measured in the r04
+    scaling profile: 103s → 31s at 48M triples / 8 cores).  The conf only
+    affects TypedImperativeAggregate functions (collect_list/collect_set),
+    so the count/sum HashAggregates in the same plan are untouched; it is
+    restored on exit so interactive-session aggregations keep the default.
+    Plans are frozen at ACTION time — wrap the ``.write``/``.count``, not
+    the DataFrame construction.
+    """
+    old = spark.conf.get(_OBJ_HASH_AGG_CONF, "true")
+    spark.conf.set(_OBJ_HASH_AGG_CONF, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(_OBJ_HASH_AGG_CONF, old)
 
 
 def token_docs(docs: DataFrame) -> DataFrame:
@@ -70,7 +97,8 @@ def token_postings(tdocs: DataFrame, dcells: DataFrame, ctotals: DataFrame) -> D
 
 def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
                              grid: str, res: int,
-                             n_docs_hint: int | None = None) -> DataFrame:
+                             n_docs_hint: int | None = None,
+                             broadcast_fm: bool = True) -> DataFrame:
     """One-pass variant over doc_index_base (doc_id, toks, cells): the
     (token, doc, cell) fan-out is a pure double explode — no join with a
     doc_cells table at all (that join was the dominant shuffle of the r01
@@ -98,47 +126,68 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
     straggler of the r03 scaling gate.  ``n_docs_hint`` ≤ threshold proves
     no group can be hot (a group never exceeds the corpus doc count) and
     skips the salt split, not the count pass (fm classification needs it).
+
+    Physical shape of the list pass (measured at 50k docs / 48M triples on
+    8 cores — the r04 scaling-gate profile):
+
+      * group keys carry a ``th = xxhash64(token)`` PREFIX: the shuffle
+        sort/anti-join compare ints first and touch the token string only
+        on hash-equal rows.  The string stays IN the key, so hash
+        collisions cannot merge two tokens' groups (exact at any scale);
+        keyed this way the same plan dropped 103s → 31s.
+      * the fm anti-join build side is an explicit ``F.broadcast``: left
+        alone, AQE planned a sort-merge anti join that SORTED all 48M
+        triples (319s); broadcast makes the probe a pure map pass.  fm-key
+        cardinality is bounded by vocab × populated cells and shrinks
+        relatively as cells densify (fm needs a token in EVERY doc of the
+        cell), so the build side stays broadcastable as the corpus grows;
+        ``broadcast_fm=False`` restores the AQE-chosen join for a corpus
+        whose dictionary genuinely outgrows the driver.
+      * the caller should run the terminal action under
+        ``sorted_list_agg``: collect_list via ObjectHashAggregate was 3-4x
+        slower than SortAggregate on this volume (object-buffer churn at
+        36M appended values); the scoped conf flips only typed-imperative
+        aggregates, so count/sum HashAggregates elsewhere are untouched.
     """
     from .index_build import HOT_CELL_THRESHOLD, HOT_SALT_BUCKETS
 
     hot_threshold: int | None = HOT_CELL_THRESHOLD
     if n_docs_hint is not None and n_docs_hint <= hot_threshold:
         hot_threshold = None
+    key = ["th", "token", "cell_id"]
     pairs = base.select(
         "doc_id", F.explode("toks").alias("token"), "cells"
-    ).select("token", "doc_id", F.explode("cells").alias("cell_id"))
+    ).select("token", "doc_id", F.explode("cells").alias("cell_id")
+             ).withColumn("th", F.xxhash64("token"))
     # count(*) == distinct docs per group (triples distinct, see docstring)
-    counts = pairs.groupBy("token", "cell_id").agg(F.count("*").alias("n_matched"))
+    counts = pairs.groupBy(*key).agg(F.count("*").alias("n_matched"))
     cls = counts.join(
         ctotals.select("cell_id", F.col("n_docs").alias("n_total")), "cell_id"
     )
     fm_keys = cls.where(F.col("n_matched") == F.col("n_total")).select(
-        "token", "cell_id", "n_matched")
+        *key, "n_matched")
     pm_keys = cls.where(F.col("n_matched") < F.col("n_total")).select(
-        "token", "cell_id", "n_matched")
-    # group-key frames are tiny relative to the triples (bounded by
-    # vocab × populated cells); AQE converts these joins to broadcasts at
-    # runtime when they fit, and falls back to shuffle joins when a 100 TB
-    # dictionary outgrows that — no driver-side collect either way
-    pm_pairs = pairs.join(fm_keys.select("token", "cell_id"),
-                          ["token", "cell_id"], "left_anti")
+        *key, "n_matched")
+    fm_side = fm_keys.select(*key)
+    if broadcast_fm:
+        fm_side = F.broadcast(fm_side)
+    pm_pairs = pairs.join(fm_side, key, "left_anti")
     # collect_list is valid (rows distinct) and is what makes the build
     # scale: collect_set's single-task hash-set merge dominated the stage
     # tail (r02 scaling gate: 2.2x for 4x cores with set, 3.5x with list)
     if hot_threshold is None:
-        pm_sets = pm_pairs.groupBy("token", "cell_id").agg(
+        pm_sets = pm_pairs.groupBy(*key).agg(
             F.array_sort(F.collect_list("doc_id")).alias("m_docs"))
     else:
-        hot = pm_keys.where(F.col("n_matched") > hot_threshold).select(
-            "token", "cell_id")
-        cold = pm_pairs.join(hot, ["token", "cell_id"], "left_anti").groupBy(
-            "token", "cell_id"
+        hot = pm_keys.where(F.col("n_matched") > hot_threshold).select(*key)
+        cold = pm_pairs.join(F.broadcast(hot), key, "left_anti").groupBy(
+            *key
         ).agg(F.array_sort(F.collect_list("doc_id")).alias("m_docs"))
-        hot_salted = pm_pairs.join(hot, ["token", "cell_id"], "left_semi").withColumn(
+        hot_salted = pm_pairs.join(F.broadcast(hot), key, "left_semi").withColumn(
             "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(HOT_SALT_BUCKETS)))
-        hot_partial = hot_salted.groupBy("token", "cell_id", "_salt").agg(
+        hot_partial = hot_salted.groupBy(*key, "_salt").agg(
             F.collect_list("doc_id").alias("_part"))
-        hot_sets = hot_partial.groupBy("token", "cell_id").agg(
+        hot_sets = hot_partial.groupBy(*key).agg(
             F.array_sort(F.flatten(F.collect_list("_part"))).alias("m_docs"))
         pm_sets = cold.unionByName(hot_sets)
     head = [F.lit("exact").alias("qt"), F.lit(grid).alias("grid"),

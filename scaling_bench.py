@@ -55,7 +55,7 @@ def worker(cores: int, n_docs: int) -> None:
         region_query_batch_counts,
     )
     from oscar_spatial_index_compare_spark.operators.token_index import (
-        token_postings_from_base,
+        sorted_list_agg, token_postings_from_base,
     )
     from oscar_spatial_index_compare_spark.session import get_spark
     from oscar_spatial_index_compare_spark.sources.synth import synth_documents
@@ -105,7 +105,9 @@ def worker(cores: int, n_docs: int) -> None:
             cell_totals_from_base(base, "s2", 10, n_docs_hint=n).\
                 sortWithinPartitions("cell_id").write.mode("overwrite").parquet(ct_path)
 
-        with ThreadPoolExecutor(2) as ex:
+        # sorted_list_agg affects only w_ct's collect_list (mention_cells
+        # has no list agg), so scoping it around both threads is safe
+        with sorted_list_agg(spark), ThreadPoolExecutor(2) as ex:
             f_m, f_c = ex.submit(w_mc), ex.submit(w_ct)
             f_m.result(), f_c.result()
         # row counts are metadata-only reads (parquet aggregate pushdown)
@@ -126,9 +128,10 @@ def worker(cores: int, n_docs: int) -> None:
         base = spark.read.parquet(base_path)
         ct = spark.read.parquet(ct_path)
         t0 = time.perf_counter()
-        token_postings_from_base(base, ct, "s2", 10, n_docs_hint=n).\
-            sortWithinPartitions("token", "cell_id").write.mode(
-                "overwrite").parquet(tp_path)
+        with sorted_list_agg(spark):
+            token_postings_from_base(base, ct, "s2", 10, n_docs_hint=n).\
+                sortWithinPartitions("token", "cell_id").write.mode(
+                    "overwrite").parquet(tp_path)
         t = time.perf_counter() - t0
         return t, spark.read.parquet(tp_path).count()
 
