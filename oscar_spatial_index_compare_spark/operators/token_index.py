@@ -95,10 +95,35 @@ def token_postings(tdocs: DataFrame, dcells: DataFrame, ctotals: DataFrame) -> D
     )
 
 
+def _pm_lists(pm_pairs: DataFrame, pm_keys_n: DataFrame, key: list[str],
+              hot_threshold: int | None) -> DataFrame:
+    """collect_list of doc_id per ``key`` group with conditional two-phase
+    salting for hot groups (> hot_threshold docs).  ``pm_keys_n`` must carry
+    ``key`` + ``n_matched`` (the count pass's exact group sizes — salting
+    reuses it, so hot detection costs no extra pass)."""
+    from .index_build import HOT_SALT_BUCKETS
+
+    if hot_threshold is None:
+        return pm_pairs.groupBy(*key).agg(
+            F.array_sort(F.collect_list("doc_id")).alias("m_docs"))
+    hot = pm_keys_n.where(F.col("n_matched") > hot_threshold).select(*key)
+    cold = pm_pairs.join(F.broadcast(hot), key, "left_anti").groupBy(
+        *key
+    ).agg(F.array_sort(F.collect_list("doc_id")).alias("m_docs"))
+    hot_salted = pm_pairs.join(F.broadcast(hot), key, "left_semi").withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(HOT_SALT_BUCKETS)))
+    hot_partial = hot_salted.groupBy(*key, "_salt").agg(
+        F.collect_list("doc_id").alias("_part"))
+    hot_sets = hot_partial.groupBy(*key).agg(
+        F.array_sort(F.flatten(F.collect_list("_part"))).alias("m_docs"))
+    return cold.unionByName(hot_sets)
+
+
 def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
                              grid: str, res: int,
                              n_docs_hint: int | None = None,
-                             broadcast_fm: bool = True) -> DataFrame:
+                             broadcast_fm: bool = True,
+                             hash_col=None) -> DataFrame:
     """One-pass variant over doc_index_base (doc_id, toks, cells): the
     (token, doc, cell) fan-out is a pure double explode — no join with a
     doc_cells table at all (that join was the dominant shuffle of the r01
@@ -127,69 +152,94 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
     no group can be hot (a group never exceeds the corpus doc count) and
     skips the salt split, not the count pass (fm classification needs it).
 
-    Physical shape of the list pass (measured at 50k docs / 48M triples on
-    8 cores — the r04 scaling-gate profile):
+    Physical shape of the list pass (profiled on the 1M-doc scaling corpus,
+    ~10^9 triples — the r04 scaling-gate work):
 
-      * group keys carry a ``th = xxhash64(token)`` PREFIX: the shuffle
-        sort/anti-join compare ints first and touch the token string only
-        on hash-equal rows.  The string stays IN the key, so hash
-        collisions cannot merge two tokens' groups (exact at any scale);
-        keyed this way the same plan dropped 103s → 31s.
+      * the list-pass shuffle carries SLIM FIXED-WIDTH rows ``(th, cell_id,
+        doc_id)`` — three longs, no token string.  ``th = xxhash64(token)``;
+        the vanishingly-rare case of two tokens sharing a th is detected
+        from the count pass (``colls``) and those tokens are routed through
+        a string-keyed path instead, so the result is exact at any scale
+        while the hot shuffle stays 24 bytes/row and radix-sortable (string
+        keys forced comparison-based sorting and ~40% more shuffle bytes —
+        the text build is memory-bandwidth-bound on the bench host, so row
+        width is wall time).  Tokens are recovered after aggregation by an
+        output-sized join against the count pass's (th, cell_id → token)
+        groups.
       * the fm anti-join build side is an explicit ``F.broadcast``: left
-        alone, AQE planned a sort-merge anti join that SORTED all 48M
-        triples (319s); broadcast makes the probe a pure map pass.  fm-key
-        cardinality is bounded by vocab × populated cells and shrinks
-        relatively as cells densify (fm needs a token in EVERY doc of the
-        cell), so the build side stays broadcastable as the corpus grows;
-        ``broadcast_fm=False`` restores the AQE-chosen join for a corpus
-        whose dictionary genuinely outgrows the driver.
+        alone, AQE planned a sort-merge anti join that SORTED all triples
+        (~6x the broadcast-probe wall); broadcast makes the probe a pure
+        map pass.  fm-key cardinality is bounded by vocab × populated
+        cells and shrinks relatively as cells densify (fm needs a token in
+        EVERY doc of the cell), so the build side stays broadcastable as
+        the corpus grows; ``broadcast_fm=False`` restores the AQE-chosen
+        join for a corpus whose dictionary genuinely outgrows the driver.
+        The count pass, colls, fm and hot broadcasts all hang off the SAME
+        count-aggregation exchange, which Spark's ReuseExchange executes
+        once per action.
       * the caller should run the terminal action under
         ``sorted_list_agg``: collect_list via ObjectHashAggregate was 3-4x
-        slower than SortAggregate on this volume (object-buffer churn at
-        36M appended values); the scoped conf flips only typed-imperative
-        aggregates, so count/sum HashAggregates elsewhere are untouched.
+        slower than SortAggregate on this volume (object-buffer churn);
+        the scoped conf flips only typed-imperative aggregates, so
+        count/sum HashAggregates elsewhere are untouched.
+
+    ``hash_col`` overrides the token-hash expression (tests narrow it to
+    force th collisions and exercise the string-keyed path).
     """
-    from .index_build import HOT_CELL_THRESHOLD, HOT_SALT_BUCKETS
+    from .index_build import HOT_CELL_THRESHOLD
 
     hot_threshold: int | None = HOT_CELL_THRESHOLD
     if n_docs_hint is not None and n_docs_hint <= hot_threshold:
         hot_threshold = None
-    key = ["th", "token", "cell_id"]
+    key3 = ["th", "token", "cell_id"]
+    key2 = ["th", "cell_id"]
     pairs = base.select(
         "doc_id", F.explode("toks").alias("token"), "cells"
     ).select("token", "doc_id", F.explode("cells").alias("cell_id")
-             ).withColumn("th", F.xxhash64("token"))
+             ).withColumn(
+        "th", hash_col if hash_col is not None else F.xxhash64("token"))
     # count(*) == distinct docs per group (triples distinct, see docstring)
-    counts = pairs.groupBy(*key).agg(F.count("*").alias("n_matched"))
+    counts = pairs.groupBy(*key3).agg(F.count("*").alias("n_matched"))
     cls = counts.join(
         ctotals.select("cell_id", F.col("n_docs").alias("n_total")), "cell_id"
     )
     fm_keys = cls.where(F.col("n_matched") == F.col("n_total")).select(
-        *key, "n_matched")
+        *key3, "n_matched")
     pm_keys = cls.where(F.col("n_matched") < F.col("n_total")).select(
-        *key, "n_matched")
-    fm_side = fm_keys.select(*key)
+        *key3, "n_matched")
+    # th values shared by >1 distinct token (usually NONE): their triples
+    # take the exact string-keyed path below
+    colls = (cls.select("th", "token").distinct()
+             .groupBy("th").agg(F.count("*").alias("_nt"))
+             .where(F.col("_nt") > 1).select("th"))
+    # ---- safe path: th <-> token bijective, slim long-only keys
+    pairs_safe = pairs.join(F.broadcast(colls), "th", "left_anti").drop("token")
+    fm_safe = fm_keys.join(F.broadcast(colls), "th", "left_anti").select(*key2)
     if broadcast_fm:
-        fm_side = F.broadcast(fm_side)
-    pm_pairs = pairs.join(fm_side, key, "left_anti")
-    # collect_list is valid (rows distinct) and is what makes the build
-    # scale: collect_set's single-task hash-set merge dominated the stage
-    # tail (r02 scaling gate: 2.2x for 4x cores with set, 3.5x with list)
-    if hot_threshold is None:
-        pm_sets = pm_pairs.groupBy(*key).agg(
-            F.array_sort(F.collect_list("doc_id")).alias("m_docs"))
-    else:
-        hot = pm_keys.where(F.col("n_matched") > hot_threshold).select(*key)
-        cold = pm_pairs.join(F.broadcast(hot), key, "left_anti").groupBy(
-            *key
-        ).agg(F.array_sort(F.collect_list("doc_id")).alias("m_docs"))
-        hot_salted = pm_pairs.join(F.broadcast(hot), key, "left_semi").withColumn(
-            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(HOT_SALT_BUCKETS)))
-        hot_partial = hot_salted.groupBy(*key, "_salt").agg(
-            F.collect_list("doc_id").alias("_part"))
-        hot_sets = hot_partial.groupBy(*key).agg(
-            F.array_sort(F.flatten(F.collect_list("_part"))).alias("m_docs"))
-        pm_sets = cold.unionByName(hot_sets)
+        fm_safe = F.broadcast(fm_safe)
+    pm_pairs_safe = pairs_safe.join(fm_safe, key2, "left_anti")
+    pm_keys_safe = pm_keys.join(F.broadcast(colls), "th", "left_anti")
+    lists_safe = _pm_lists(pm_pairs_safe, pm_keys_safe.select(*key2, "n_matched"),
+                           key2, hot_threshold)
+    # token recovery: exactly one pm group row per safe (th, cell_id).
+    # The token side MUST be the broadcast build side — a shuffle join here
+    # would move the aggregated doc arrays (the largest frame of the whole
+    # build) a second time; the key->token map is group-count-sized
+    tok_map = pm_keys_safe.select(*key2, "token")
+    if broadcast_fm:
+        tok_map = F.broadcast(tok_map)
+    pm_safe = lists_safe.join(tok_map, key2)
+    # ---- collided path: token string in the key, exact (normally empty)
+    pairs_coll = pairs.join(F.broadcast(colls), "th", "left_semi")
+    fm_coll = fm_keys.join(F.broadcast(colls), "th", "left_semi").select(*key3)
+    if broadcast_fm:
+        fm_coll = F.broadcast(fm_coll)
+    pm_pairs_coll = pairs_coll.join(fm_coll, key3, "left_anti")
+    pm_keys_coll = pm_keys.join(F.broadcast(colls), "th", "left_semi")
+    lists_coll = _pm_lists(pm_pairs_coll, pm_keys_coll.select(*key3, "n_matched"),
+                           key3, hot_threshold)
+    pm_sets = pm_safe.select("token", "cell_id", "m_docs").unionByName(
+        lists_coll.select("token", "cell_id", "m_docs"))
     head = [F.lit("exact").alias("qt"), F.lit(grid).alias("grid"),
             F.lit(res).alias("res")]
     fm_out = fm_keys.select(

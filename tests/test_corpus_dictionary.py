@@ -58,3 +58,61 @@ def test_engine_dictionary_comes_from_corpus(engine):
         ).distinct().collect()
     }
     assert set(toks) == corpus
+
+
+def _tp_rows(tp):
+    return sorted(
+        (r.token, r.cell_id, r.is_fm,
+         tuple(r.doc_ids) if r.doc_ids is not None else None, r.n_docs)
+        for r in tp.collect()
+    )
+
+
+def test_th_collision_path_exact(spark, engine):
+    """The slim-key list pass routes hash-collided tokens through the
+    string-keyed path: narrowing the token hash to 4 buckets forces heavy
+    collisions, and the output must equal the default (collision-free)
+    build row for row — lists included."""
+    from pyspark.sql import functions as F
+
+    from oscar_spatial_index_compare_spark.operators.index_build import (
+        cell_totals_from_base, doc_index_base,
+    )
+
+    base = doc_index_base(engine.docs, "zxy", 9)
+    ct = cell_totals_from_base(base, "zxy", 9)
+    default = token_postings_from_base(base, ct, "zxy", 9)
+    collided = token_postings_from_base(
+        base, ct, "zxy", 9,
+        hash_col=F.pmod(F.xxhash64("token"), F.lit(4)).cast("long"))
+    assert _tp_rows(collided) == _tp_rows(default)
+    # sanity: the narrowed hash really does collide (else the test is void)
+    n_tok = base.select(F.explode("toks").alias("t")).select("t").distinct().count()
+    assert n_tok > 4
+
+
+def test_th_collision_path_exact_with_salting(spark):
+    """Same exactness when the hot-group salted aggregation is active
+    (hot_threshold forced to 1 via a tiny corpus + n_docs_hint omitted —
+    every multi-doc group goes through the salted two-phase path)."""
+    from pyspark.sql import functions as F
+
+    from oscar_spatial_index_compare_spark.operators.index_build import (
+        cell_totals_from_base, doc_index_base,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "paris bridge" if i % 2 else "paris museum") for i in range(12)],
+        "doc_id long, text string",
+    )
+    base = doc_index_base(docs, "zxy", 9)
+    ct = cell_totals_from_base(base, "zxy", 9)
+    import unittest.mock as mock
+
+    default = _tp_rows(token_postings_from_base(base, ct, "zxy", 9))
+    with mock.patch("oscar_spatial_index_compare_spark.operators."
+                    "index_build.HOT_CELL_THRESHOLD", 1):
+        collided = token_postings_from_base(
+            base, ct, "zxy", 9,
+            hash_col=F.pmod(F.xxhash64("token"), F.lit(2)).cast("long"))
+        assert _tp_rows(collided) == default
