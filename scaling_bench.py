@@ -1,10 +1,21 @@
 #!/usr/bin/env python
 """Scaling-efficiency evidence (M8, north_rule ≥0.8 between N and 4N).
 
-No real cluster exists in this sandbox, so the same job runs at two
-parallelism levels — ``local[8]`` and ``local[32]`` (N vs 4N cores), fresh
-JVM each — over the same deterministic synthetic corpus, and reports
-throughput at both plus efficiency = T_8 / (4 · T_32).
+No managed cluster exists in this sandbox, so the harness starts a Spark
+STANDALONE master + worker on localhost and runs the same job as two
+applications: ``spark.cores.max=8`` (ONE 8-core/8g executor JVM = N) and
+``spark.cores.max=32`` (FOUR 8-core/8g executor JVMs = 4N) over the same
+deterministic synthetic corpus, reporting throughput at both plus
+efficiency = T_8 / (4 · T_32).  This is the faithful N→4N model: a real
+cluster scales by ADDING executor JVMs of constant size — it never grows
+one heap 4x (r3's 48g local[32] heap: giant sort runs + GC measured 2.3x
+slower) and never packs 32 task threads into one 8g heap (r4's constant-
+heap local[32]: 4x less memory per task than local[8], so the 4N level
+spilled where the N level didn't, and single-heap GC/allocation contention
+coupled all 32 threads — both artifacts of local mode, not of the plans).
+Executors here are separate JVMs with separate heaps, separate GCs, and a
+real netty shuffle between them, exactly like cluster executors sharing a
+node.
 
 Workload (the headline pipeline, compute-bound by corpus size):
   synth corpus → one-pass index base WRITTEN ONCE (gazetteer match + cells
@@ -24,14 +35,16 @@ executors busy through each write's stage tail.  Queries run against the
 serialized table as one batched plan — the reference's create→query split
 (apps/mainc.cpp → apps/mainq.cpp).
 
-Run:  python scaling_bench.py [n_docs]      (writes BENCH/BASELINE.md)
-Worker: python scaling_bench.py --worker <cores> <n_docs>   (prints JSON)
+Run:  python scaling_bench.py [n_docs] [n_windows]   (writes BENCH/BASELINE.md)
+Worker: python scaling_bench.py --worker <cores> <n_docs>   (prints JSON;
+        connects to $SCALING_MASTER if set, else local[cores])
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -41,16 +54,36 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 N_CORES, N4_CORES = 8, 32  # the mandated N / 4N pair
+EXEC_CORES, EXEC_MEM = 8, "8g"  # constant executor shape at BOTH levels
 
 
 def worker(cores: int, n_docs: int) -> None:
-    os.environ["SPARK_GRAFT_MASTER"] = f"local[{cores}]"
-    # PER-JVM heap is CONSTANT across levels (r04 fix): a real N->4N cluster
-    # adds executor JVMs of the SAME size - it never grows one heap 4x.  The
-    # old cores*1.5g sizing made local[32] run a 48g heap whose giant
-    # in-memory sort runs + GC were measured 2.3x SLOWER on the posting-list
-    # pass than the same job in an 8g heap (>500s vs 214s, fresh JVMs,
-    # same host window); heap size was masquerading as scaling behavior.
+    # Executor shape is CONSTANT across levels (8 cores / 8g per JVM): the
+    # N level gets 1 executor, the 4N level gets 4 — capacity is added the
+    # way a real cluster adds it.  Driver JVM (fresh per worker run) only
+    # coordinates + collects counts.
+    master = os.environ.get("SCALING_MASTER", "")
+    extra_conf = {
+        "spark.local.dir": "/dev/shm/sparktmp",
+        # serialized tables must split into enough
+        # tasks to fill 4N cores (a ~1 GB table at
+        # the default 128 MB yields 8 tasks)
+        "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+    }
+    if master:
+        os.environ["SPARK_GRAFT_MASTER"] = master
+        extra_conf.update({
+            "spark.cores.max": str(cores),
+            "spark.executor.cores": str(EXEC_CORES),
+            "spark.executor.memory": EXEC_MEM,
+            "spark.pyspark.python": sys.executable,
+            # executor-side Python workers must import the package (the
+            # pandas-UDF grid kernels); local mode inherited the driver's
+            # sys.path, separate executor JVMs do not
+            "spark.executorEnv.PYTHONPATH": REPO,
+        })
+    else:  # fallback: single-JVM local mode (the r4-and-earlier proxy)
+        os.environ["SPARK_GRAFT_MASTER"] = f"local[{cores}]"
     os.environ["SPARK_DRIVER_MEM"] = "8g"
     from oscar_spatial_index_compare_spark.operators.index_build import (
         cell_totals_from_base, doc_index_full, mention_cells_from_full,
@@ -71,12 +104,7 @@ def worker(cores: int, n_docs: int) -> None:
     # cores so AQE can rebalance the skewed postings groups (hot cells).
     os.makedirs("/dev/shm/sparktmp", exist_ok=True)
     spark = get_spark(app_name=f"scaling-{cores}", cores=cores,
-                      shuffle_partitions=cores * 4,
-                      extra_conf={"spark.local.dir": "/dev/shm/sparktmp",
-                                  # serialized tables must split into enough
-                                  # tasks to fill 4N cores (a ~1 GB table at
-                                  # the default 128 MB yields 8 tasks)
-                                  "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)})
+                      shuffle_partitions=cores * 4, extra_conf=extra_conf)
     spark.sparkContext.setLogLevel("ERROR")
     docs = synth_documents(spark, n_docs, partitions=cores * 4).cache()
     n = docs.count()  # warm the cache outside the timed section
@@ -229,61 +257,56 @@ def hardware_probe() -> dict:
     return out
 
 
-def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]), int(sys.argv[3]))
-        return
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    # three WINDOWS, each = local[8] worker + local[32] worker back-to-back,
-    # BRACKETED by hardware probes (one probe between consecutive windows
-    # serves as both the previous window's post-probe and the next one's
-    # pre-probe).  Efficiency is computed PER WINDOW and normalized by THAT
-    # window's own measured ceiling — the shared host shows ~2x
-    # noisy-neighbor swings lasting tens of minutes, so numbers from
-    # different windows must never be paired.  A window is CLEAN when both
-    # bracketing probes land in the physically plausible band (repeated
-    # quiet-host measurements put the true ceilings at ~0.6-0.75 cpu /
-    # ~0.3-0.8 mem; a probe ratio outside [0.25, 0.85] means the host
-    # shifted under the probe itself, so nothing measured nearby can be
-    # trusted).  Headline = best clean window, with the clean-window median
-    # alongside.
-    windows = []
-    probes = [hardware_probe()]
-    for w in range(3):
-        pair = {}
-        for cores in (N_CORES, N4_CORES):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker", str(cores), str(n_docs)],
-                capture_output=True, text=True, cwd=REPO, timeout=3600,
-            )
-            line = [x for x in out.stdout.splitlines() if x.startswith("{")][-1]
-            pair[cores] = json.loads(line)
-            print(line)
-        probes.append(hardware_probe())
-        pre, post = probes[w], probes[w + 1]
-        # conservative per-window ceiling: the best host state seen on
-        # either side (a larger ceiling can only LOWER the normalized eff)
-        pair["cpu_ceiling"] = max(pre["cpu_ceiling_eff"], post["cpu_ceiling_eff"])
-        pair["mem_ceiling"] = max(pre["mem_ceiling_eff"], post["mem_ceiling_eff"])
-        # clean = the host did not shift across the window: the bracketing
-        # probes AGREE (and neither implies a physically impossible >1.0
-        # ratio).  An absolute band is wrong — the true ceiling itself
-        # swings ~2x with neighbor load, and a consistently fast host is a
-        # valid (conservative) measurement window.
-        pair["clean"] = all(
-            p[k] <= 1.0 for p in (pre, post)
-            for k in ("cpu_ceiling_eff", "mem_ceiling_eff")
-        ) and abs(pre["cpu_ceiling_eff"] - post["cpu_ceiling_eff"]) <= 0.15 \
-          and abs(pre["mem_ceiling_eff"] - post["mem_ceiling_eff"]) <= 0.15
-        pair["eff_build"] = round(pair[N_CORES]["build_sec"] / (4.0 * pair[N4_CORES]["build_sec"]), 3)
-        pair["eff_text"] = round(pair[N_CORES]["text_sec"] / (4.0 * pair[N4_CORES]["text_sec"]), 3)
-        pair["eff_query"] = round(pair[N_CORES]["query_sec"] / (4.0 * pair[N4_CORES]["query_sec"]), 3)
-        print(json.dumps({"window": w, "pre": pre, "post": post,
-                          "clean": pair["clean"],
-                          "eff_build": pair["eff_build"], "eff_text": pair["eff_text"],
-                          "eff_query": pair["eff_query"]}))
-        windows.append(pair)
+def start_cluster() -> tuple:
+    """Start a localhost standalone master + one 32-core/40g worker daemon
+    (fresh random master port; executors are launched per application, so
+    each worker RUN still gets fresh executor JVMs).  Returns
+    (master_proc, worker_proc, master_url)."""
+    import pyspark
 
+    spark_dir = os.path.dirname(os.path.abspath(pyspark.__file__))
+    java = os.path.join(os.environ.get("JAVA_HOME", "/usr"), "bin", "java")
+    logs = "/dev/shm/sparktmp/standalone"
+    os.makedirs(logs, exist_ok=True)
+    env = {**os.environ, "SPARK_HOME": spark_dir, "SPARK_SCALA_VERSION": "2.13",
+           "PYSPARK_PYTHON": sys.executable,
+           "SPARK_LOCAL_DIRS": "/dev/shm/sparktmp"}
+    cp = os.path.join(spark_dir, "jars", "*")
+    mlog = os.path.join(logs, "master.log")
+    m = subprocess.Popen(
+        [java, "-Xmx1g", "-cp", cp, "org.apache.spark.deploy.master.Master",
+         "--host", "127.0.0.1", "--port", "0", "--webui-port", "0"],
+        stdout=open(mlog, "w"), stderr=subprocess.STDOUT, env=env)
+    url = None
+    for _ in range(60):
+        time.sleep(1)
+        got = re.search(r"Starting Spark master at (spark://\S+)",
+                        open(mlog).read())
+        if got:
+            url = got.group(1)
+            break
+    if url is None:
+        m.terminate()
+        raise RuntimeError(f"standalone master did not start, see {mlog}")
+    wlog = os.path.join(logs, "worker.log")
+    w = subprocess.Popen(
+        [java, "-Xmx1g", "-cp", cp, "org.apache.spark.deploy.worker.Worker",
+         url, "--host", "127.0.0.1", "--cores", str(N4_CORES),
+         "--memory", "40g", "--webui-port", "0",
+         "--work-dir", os.path.join(logs, "work")],
+        stdout=open(wlog, "w"), stderr=subprocess.STDOUT, env=env)
+    for _ in range(60):
+        time.sleep(1)
+        if "Successfully registered" in open(wlog).read():
+            return m, w, url
+    m.terminate(), w.terminate()
+    raise RuntimeError(f"standalone worker did not register, see {wlog}")
+
+
+def _write_baseline(windows: list, n_docs: int, n_windows: int) -> dict:
+    """(Re)write BENCH/BASELINE.md from the windows measured so far —
+    called after EVERY window so an interrupted run still leaves a valid,
+    self-consistent artifact."""
     import statistics
 
     clean = [p for p in windows if p["clean"]]
@@ -313,26 +336,33 @@ def main() -> None:
         f"| {p[N_CORES]['query_sec']} | {p[N4_CORES]['query_sec']} | {p['eff_query']:.2f} "
         f"| {p['cpu_ceiling']:.2f} | {p['mem_ceiling']:.2f} |"
         for i, p in enumerate(windows))
+    partial = ("" if len(windows) >= n_windows else
+               f" — PARTIAL: {len(windows)}/{n_windows} windows measured so far")
     md = f"""# BENCH/BASELINE — measured throughput + scaling efficiency
 
 Same code, same deterministic synthetic corpus ({n_docs:,} docs, seed-free),
-two parallelism levels (sandbox proxy for N vs 4N executors, per driver
-instruction).  Methodology: three WINDOWS, each = fresh-JVM local[{N_CORES}]
-worker + fresh-JVM local[{N4_CORES}] worker back-to-back, BRACKETED by hardware
-probes; each worker runs 1 warmup + 2 timed spatial builds (min reported),
-one token-postings write, and 1 warmup + 2 timed query batches (min).
-The per-JVM heap is CONSTANT (8g) at both levels — a real N→4N cluster
-adds executor JVMs of the same size, it never grows one heap 4x (the old
-cores-proportional sizing put local[{N4_CORES}] in a 48g heap whose giant sort
-runs + GC were measured 2.3x slower on the posting-list pass than the
-same job in an 8g heap).  Efficiency is computed PER WINDOW and
-normalized by THAT window's own measured ceiling (the shared host shows
-~2x noisy-neighbor swings lasting tens of minutes, so numbers from
-different windows must never be paired).  A window is CLEAN when its
-bracketing probes agree (|Δceiling| ≤ 0.15 on both axes, neither side
-implying an impossible >1.0 ratio) — i.e. the host did not shift mid-
-window; the headline is the best clean window with the clean-window
-median alongside{" — NO CLEAN WINDOW EXISTED in this run, numbers below are from unclean windows and should be re-measured" if no_clean_window else ""}.
+two parallelism levels on a localhost Spark STANDALONE cluster — the
+sandbox proxy for N vs 4N executors, per driver instruction: the N level
+is ONE 8-core/8g executor JVM (``spark.cores.max=8``), the 4N level is
+FOUR 8-core/8g executor JVMs (``spark.cores.max=32``), i.e. capacity is
+added exactly the way a real cluster adds it — more executor JVMs of
+constant shape, separate heaps and GCs, netty shuffle between them.
+(Earlier harnesses used single-JVM local[8]/local[32]; both heap policies
+available there are wrong as cluster models: a cores-proportional 48g heap
+made giant sort runs 2.3x slower from GC alone, and a constant 8g heap
+gave the 4N level 4x less memory per task so IT spilled where N did not —
+single-process artifacts, not plan properties.)
+Methodology: {n_windows} WINDOWS{partial}, each = a fresh 1-executor application +
+a fresh 4-executor application back-to-back, BRACKETED by hardware
+probes; each application runs 1 warmup + 2 timed spatial builds (min
+reported), one token-postings write, and 1 warmup + 2 timed query batches
+(min).  Efficiency is computed PER WINDOW and normalized by THAT window's
+own measured ceiling (the shared host shows ~2x noisy-neighbor swings
+lasting tens of minutes, so numbers from different windows must never be
+paired).  A window is CLEAN when its bracketing probes agree
+(|Δceiling| ≤ 0.15 on both axes, neither side implying an impossible
+>1.0 ratio) — i.e. the host did not shift mid-window; the headline is the
+best clean window with the clean-window median alongside{" — NO CLEAN WINDOW EXISTED in this run, numbers below are from unclean windows and should be re-measured" if no_clean_window else ""}.
 Shuffle temp is on tmpfs so the sandbox's shared disk (which a real
 cluster would replace with per-node NVMe) does not cap the parallel
 fraction.
@@ -342,9 +372,9 @@ the best clean window this sandbox's 32 vCPUs delivered only ~{4*cpu_ceiling:.1f
 pure-CPU throughput and ~{4*mem_ceiling:.1f}x the memory-stream bandwidth of 8 vCPUs
 (all-core frequency/power ceiling; /proc/stat steal = 0) — a PERFECTLY
 parallel job cannot exceed **{cpu_ceiling:.2f}** (CPU-bound) / **{mem_ceiling:.2f}** (bandwidth-bound)
-efficiency between local[8] and local[32] there.  A real N→4N cluster
-adds machines with constant per-core clocks and per-node bandwidth, so
-the raw sandbox ratio UNDER-measures cluster scaling; both raw and
+efficiency between 8 and 32 cores there.  A real N→4N cluster adds
+machines with constant per-core clocks and per-node bandwidth, so the
+raw sandbox ratio UNDER-measures cluster scaling; both raw and
 ceiling-normalized numbers are reported, each window normalized by its
 own bracketing probes (max of the two sides — conservative, since a
 larger ceiling can only lower the normalized number).
@@ -366,7 +396,7 @@ strides; fresh plan per rep).
 
 Best-window detail:
 
-| metric | local[{N_CORES}] (N) | local[{N4_CORES}] (4N) |
+| metric | 1 executor (N) | 4 executors (4N) |
 |---|---|---|
 | spatial index build wall (s) | {rn['build_sec']} | {r4n['build_sec']} |
 | token-postings build wall (s) | {tw[N_CORES]['text_sec']} | {tw[N4_CORES]['text_sec']} |
@@ -390,8 +420,74 @@ mention/postings/region-doc counts identical at both levels.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"eff_build": round(eff_build, 3), "eff_text": round(eff_text, 3),
-                      "eff_query": round(eff_query, 3)}))
+    return {"eff_build": round(eff_build, 3), "eff_text": round(eff_text, 3),
+            "eff_query": round(eff_query, 3)}
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_windows = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    # windows, each = 1-executor app + 4-executor app back-to-back,
+    # BRACKETED by hardware probes (one probe between consecutive windows
+    # serves as both the previous window's post-probe and the next one's
+    # pre-probe).  Efficiency is computed PER WINDOW and normalized by THAT
+    # window's own measured ceiling; CLEAN = the bracketing probes AGREE
+    # (the host did not shift mid-window).  Headline = best clean window,
+    # with the clean-window median alongside.  BASELINE.md is rewritten
+    # after EVERY window so an interrupted run still leaves a valid
+    # artifact (flagged PARTIAL in its methodology line).
+    os.makedirs("/dev/shm/sparktmp", exist_ok=True)
+    mproc, wproc, master_url = start_cluster()
+    windows = []
+    summary = None
+    try:
+        probes = [hardware_probe()]
+        for w in range(n_windows):
+            pair = {}
+            for cores in (N_CORES, N4_CORES):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--worker", str(cores), str(n_docs)],
+                    capture_output=True, text=True, cwd=REPO, timeout=3600,
+                    env={**os.environ, "SCALING_MASTER": master_url},
+                )
+                lines = [x for x in out.stdout.splitlines() if x.startswith("{")]
+                if not lines:
+                    raise RuntimeError(
+                        f"worker {cores} produced no result:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+                pair[cores] = json.loads(lines[-1])
+                print(lines[-1], flush=True)
+            probes.append(hardware_probe())
+            pre, post = probes[w], probes[w + 1]
+            # conservative per-window ceiling: the best host state seen on
+            # either side (a larger ceiling can only LOWER the normalized eff)
+            pair["cpu_ceiling"] = max(pre["cpu_ceiling_eff"], post["cpu_ceiling_eff"])
+            pair["mem_ceiling"] = max(pre["mem_ceiling_eff"], post["mem_ceiling_eff"])
+            # clean = the host did not shift across the window: the bracketing
+            # probes AGREE (and neither implies a physically impossible >1.0
+            # ratio).  An absolute band is wrong — the true ceiling itself
+            # swings ~2x with neighbor load, and a consistently fast host is a
+            # valid (conservative) measurement window.
+            pair["clean"] = all(
+                p[k] <= 1.0 for p in (pre, post)
+                for k in ("cpu_ceiling_eff", "mem_ceiling_eff")
+            ) and abs(pre["cpu_ceiling_eff"] - post["cpu_ceiling_eff"]) <= 0.15 \
+              and abs(pre["mem_ceiling_eff"] - post["mem_ceiling_eff"]) <= 0.15
+            pair["eff_build"] = round(pair[N_CORES]["build_sec"] / (4.0 * pair[N4_CORES]["build_sec"]), 3)
+            pair["eff_text"] = round(pair[N_CORES]["text_sec"] / (4.0 * pair[N4_CORES]["text_sec"]), 3)
+            pair["eff_query"] = round(pair[N_CORES]["query_sec"] / (4.0 * pair[N4_CORES]["query_sec"]), 3)
+            print(json.dumps({"window": w, "pre": pre, "post": post,
+                              "clean": pair["clean"],
+                              "eff_build": pair["eff_build"], "eff_text": pair["eff_text"],
+                              "eff_query": pair["eff_query"]}), flush=True)
+            windows.append(pair)
+            summary = _write_baseline(windows, n_docs, n_windows)
+    finally:
+        wproc.terminate()
+        mproc.terminate()
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
