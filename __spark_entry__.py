@@ -75,25 +75,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _ZRES = 9
 _KNN_QUERIES = [(1, 48.86, 2.36, 5), (2, -33.0, 151.0, 10), (3, 89.0, 10.0, 3), (4, 0.0, 0.0, 7)]
-# Driver-budget note (r03 VERDICT item 3): the driver runs at most 50
-# entries, so the optree suite keeps one representative per grammar
-# production (∩ here; ∪/− appear inside optree_complex and optree_nested;
-# prefix machinery is covered by optree_qt_fallback + optree_prefix_payload).
-# The trimmed variants live on in extra_queries(), which pytest still runs.
+# Driver-budget note (r03 VERDICT item 3, r04 VERDICT item 4): the driver
+# runs at most 50 entries; entries ROTATE round-robin between the driver
+# budget and extra_queries() (which pytest still oracle-checks every run) so
+# every grammar production gets a DRIVER-green row at least every other
+# round.  r5 rotation: the direct ∪ / − / ! / prefix / suffix / substring /
+# poly-union trees and posting_store_stats rotate IN (they sat in extras
+# during r4); the always-green single-region s2 variants, the hcqr ∪/−
+# variants, dedup_jaccard, doc_cells and two text entries rotate OUT to
+# extras for this round.
 _OPTREES = {
     "optree_intersect": "join / window",
     "optree_symdiff": "dup ^ spark",
     "optree_complex": "(join + dup) / window - spark",
     "optree_region_token": "$region:1 / dup",
     "optree_rect": "$rect:42.3,51.7,-4.8,8.7 / join",
-}
-_OPTREES_EXTRA = {
     "optree_union": "dup + spark",
     "optree_diff": "join - dup",
     "optree_prefix": "jo*",
     "optree_suffix": "*up",
     "optree_substring": "*par*",
     "optree_poly_union": "$poly:concave_c + $region:6",
+}
+_OPTREES_EXTRA = {
     "optree_empty_leaf": "nosuchtoken + dup",
 }
 # region-difference trees are grid-sensitive (two mentions of one doc can
@@ -109,10 +113,9 @@ _OPTREES_ZXY = {
     # one composite tree covers BOTH the $cell leaf and the statically-empty
     # leaf union (the former optree_empty_leaf coverage), freeing a slot
     "optree_cell": f"($cell:{_CELL_METRO} / dup) + nosuchtoken",
-}
-_OPTREES_ZXY_EXTRA = {
     "optree_fm_conversion": "!dup / spark",
 }
+_OPTREES_ZXY_EXTRA: dict[str, str] = {}
 _TOKENS_FOR_POSTINGS = ["join", "dup", "spark", "window", "the"]
 
 
@@ -557,23 +560,42 @@ def _region_batch_sql() -> str:
     return "\nUNION ALL\n".join(sels)
 
 
+_GH_TREE = "($region:2 - $region:1) / ($region:2 + $region:6)"
+
+
+def _gh_hcqr_docs(spark, sf):
+    """Region-rooted op tree on the GeoHierarchy-as-pixel-tree completer
+    (reference GeoHierarchyHCQRCompleter.cpp:17-33): pixels are region ids /
+    cell_postings pieces; items() = union over region_cells → cell_postings."""
+    from oscar_spatial_index_compare_spark.operators.gh_hcqr import gh_hcqr_docs
+    from oscar_spatial_index_compare_spark.operators.index_build import (
+        cell_postings, mention_cells,
+    )
+
+    eng = _engine(spark, sf)
+    cp = cell_postings(mention_cells(eng.mentions, "zxy", _ZRES)).where(
+        (F.col("grid") == "zxy") & (F.col("res") == _ZRES)
+    )
+    return gh_hcqr_docs(spark, _GH_TREE, cp)
+
+
+# in-driver-budget text entries for this round; the other two rotate to extras
+_TEXT_IN_BUDGET = ("text_token_count", "text_lang_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver's harness cap (r03 VERDICT item 3:
-    overflowing it silently dropped per-round oracle evidence).  Trimmed
-    redundant optree variants live in extra_queries() for pytest."""
+    overflowing it silently dropped per-round oracle evidence).  Rotated-out
+    variants live in extra_queries() for pytest (r04 VERDICT item 4)."""
     q: dict[str, Callable] = {
         "documents_cc": _documents_cc,
         "mentions": _mentions,
-        "doc_cells_zxy9": _doc_cells_zxy,
         "cell_counts_zxy9": _cell_counts_zxy,
         "index_stats_zxy": _index_stats_zxy,
         "index_stats_area_zxy": _index_stats_area_zxy,
         "optree_qt_fallback": _optree_qt_fallback,
         "optree_prefix_payload": _optree_prefix_payload,
         "tiles_z3_8_12": _tiles,
-        "region_metro_s2": _region_query("metro", "s2", 10),
-        "region_concave_s2": _region_query("concave_c", "s2", 10),
-        "region_polar_s2": _region_query("polar", "s2", 10),
         "region_south_h3": _region_query("south_pent", "h3", 5),
         "region_east_htm": _region_query("east_am", "htm", 9),
         "region_country_zxy": _region_query("country", "zxy", _ZRES),
@@ -590,24 +612,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[name] = _optree(tree, "zxy", _ZRES)
     q.update({
         "dedup_exact": _dedup_exact,
-        "dedup_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_clusters": _dedup_clusters,
         "dedup_canonical": _dedup_canonical,
         "embed_cosine_topk": _embed_topk,
-        "embed_ann_lsh": _embed_ann,            # rows-only (approximate)
-        "embed_neardup_lsh": _embed_neardup_lsh,  # rows-only (approximate)
+        "embed_ann_lsh": _embed_ann,
+        "embed_neardup_lsh": _embed_neardup_lsh,
         "hcqr_docs_intersect": _hcqr_docs("join / window", "s2", 10),
         "hcqr_docs_region_diff": _hcqr_docs("$region:2 - $region:1", "s2", 10),
-        "hcqr_docs_union_zxy": _hcqr_docs("dup + spark", "zxy", _ZRES),
-        "hcqr_docs_diff_htm": _hcqr_docs("join - dup", "htm", 9),
+        "hcqr_docs_gh_region": _gh_hcqr_docs,
         "hcqr_stats_join_window": _hcqr_stats,
         "cell_postings_region_zxy": _cell_postings_region,
         "cqr_stats_dup_zxy": _cqr_stats_dup,
+        "posting_store_stats": _posting_store_stats,
     })
     for name, (fn, _sql) in _text_entries().items():
-        q[name] = fn
+        if name in _TEXT_IN_BUDGET:
+            q[name] = fn
     assert len(q) == 50, f"driver budget is 50 entries, got {len(q)}"
     return q
 
@@ -653,24 +675,53 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pm) AS n_refs,
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Operators trimmed from the 50-entry driver budget but still
-    oracle-checked by pytest (tests/test_correctness.py merges these)."""
+    """Operators rotated out of the 50-entry driver budget this round but
+    still oracle-checked by pytest (tests/test_correctness.py merges these;
+    r04 VERDICT item 4 — the sets swap round-robin per round)."""
     q: dict[str, Callable] = {}
     for name, tree in _OPTREES_EXTRA.items():
         q[name] = _optree(tree, "s2", 10)
     for name, tree in _OPTREES_ZXY_EXTRA.items():
         q[name] = _optree(tree, "zxy", _ZRES)
-    q["posting_store_stats"] = _posting_store_stats
+    q.update({
+        "region_metro_s2": _region_query("metro", "s2", 10),
+        "region_concave_s2": _region_query("concave_c", "s2", 10),
+        "region_polar_s2": _region_query("polar", "s2", 10),
+        "hcqr_docs_union_zxy": _hcqr_docs("dup + spark", "zxy", _ZRES),
+        "hcqr_docs_diff_htm": _hcqr_docs("join - dup", "htm", 9),
+        "dedup_jaccard": _dedup_jaccard,
+        "doc_cells_zxy9": _doc_cells_zxy,
+    })
+    for name, (fn, _sql) in _text_entries().items():
+        if name not in _TEXT_IN_BUDGET:
+            q[name] = fn
     return q
 
 
 def extra_oracle_sql() -> dict[str, str]:
+    from oscar_spatial_index_compare_spark.operators.dedup import (
+        jaccard_pairs_oracle,
+    )
+
     o = {}
     for name, tree in _OPTREES_EXTRA.items():
         o[name] = optree_oracle_sql(tree, res=_ZRES)
     for name, tree in _OPTREES_ZXY_EXTRA.items():
         o[name] = optree_oracle_sql(tree, res=_ZRES)
-    o["posting_store_stats"] = _posting_store_stats_sql()
+    o.update({
+        "region_metro_s2": region_query_oracle_sql(region_by_name("metro")),
+        "region_concave_s2": region_query_oracle_sql(region_by_name("concave_c")),
+        "region_polar_s2": region_query_oracle_sql(region_by_name("polar")),
+        "hcqr_docs_union_zxy": optree_oracle_sql("dup + spark", res=_ZRES),
+        "hcqr_docs_diff_htm": optree_oracle_sql("join - dup", res=_ZRES),
+        "dedup_jaccard": jaccard_pairs_oracle(500_000),
+        "doc_cells_zxy9": f"""
+SELECT DISTINCT m.doc_id, {ZXY.cell_sql('m.lat', 'm.lon', _ZRES)} AS cell_id
+FROM {mentions_subquery_sql()} m""",
+    })
+    for name, (_fn, sql) in _text_entries().items():
+        if name not in _TEXT_IN_BUDGET:
+            o[name] = sql
     return o
 
 
@@ -683,9 +734,6 @@ def oracle_sql() -> dict[str, str]:
             " text, lang FROM documents"
         ),
         "mentions": MENTIONS_ORACLE_SQL,
-        "doc_cells_zxy9": f"""
-SELECT DISTINCT m.doc_id, {ZXY.cell_sql('m.lat', 'm.lon', _ZRES)} AS cell_id
-FROM {mentions_subquery_sql()} m""",
         "cell_counts_zxy9": f"""
 SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
   SELECT DISTINCT m.doc_id, {ZXY.cell_sql('m.lat', 'm.lon', _ZRES)} AS cell_id
@@ -697,9 +745,6 @@ SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
         "optree_qt_fallback": optree_oracle_sql("a*", res=_ZRES),
         "optree_prefix_payload": optree_oracle_sql("jo* / dup", res=_ZRES),
         "tiles_z3_8_12": tiles_oracle_sql([3, 8, 12]),
-        "region_metro_s2": region_query_oracle_sql(region_by_name("metro")),
-        "region_concave_s2": region_query_oracle_sql(region_by_name("concave_c")),
-        "region_polar_s2": region_query_oracle_sql(region_by_name("polar")),
         "region_south_h3": region_query_oracle_sql(region_by_name("south_pent")),
         "region_east_htm": region_query_oracle_sql(region_by_name("east_am")),
         "region_country_zxy": region_query_oracle_sql(region_by_name("country")),
@@ -722,26 +767,33 @@ SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
         minhash_lsh_pairs_oracle,
         simhash_oracle,
     )
-    from oscar_spatial_index_compare_spark.operators.similarity import cosine_topk_oracle
+    from oscar_spatial_index_compare_spark.operators.similarity import (
+        ann_topk_oracle,
+        cosine_topk_oracle,
+        embedding_neardup_oracle,
+    )
 
     o.update({
         "dedup_exact": EXACT_DUP_ORACLE,
-        "dedup_jaccard": jaccard_pairs_oracle(500_000),
         "dedup_minhash_lsh": minhash_lsh_pairs_oracle(500_000),
         "dedup_simhash": simhash_oracle(),
         "dedup_clusters": dup_clusters_oracle(jaccard_pairs_oracle(500_000)),
         "dedup_canonical": dedup_canonical_oracle(jaccard_pairs_oracle(500_000)),
         "embed_cosine_topk": cosine_topk_oracle(_EMBED_QUERIES, 10),
-        # embed_ann_lsh / embed_neardup_lsh / hcqr_stats: rows-only (approx /
-        # non-SQL-expressible tree metrics) — pytest covers recall + metrics
+        # r04 VERDICT item 5: the LSH paths are deterministic sign-bit
+        # arithmetic, so their full results (not just recall) are
+        # SQL-expressible — zero rows-only entries remain in the budget
+        "embed_ann_lsh": ann_topk_oracle(_EMBED_QUERIES, 10),
+        "embed_neardup_lsh": embedding_neardup_oracle(950_000),
         "hcqr_docs_intersect": optree_oracle_sql("join / window", res=_ZRES),
         "hcqr_docs_region_diff": optree_oracle_sql("$region:2 - $region:1", res=_ZRES),
-        "hcqr_docs_union_zxy": optree_oracle_sql("dup + spark", res=_ZRES),
-        "hcqr_docs_diff_htm": optree_oracle_sql("join - dup", res=_ZRES),
+        "hcqr_docs_gh_region": optree_oracle_sql(_GH_TREE, res=_ZRES),
         "hcqr_stats_join_window": hcqr_stats_oracle_sql("join / window", res=_ZRES),
         "cell_postings_region_zxy": _cell_postings_region_sql(),
         "cqr_stats_dup_zxy": _cqr_stats_dup_sql(),
+        "posting_store_stats": _posting_store_stats_sql(),
     })
     for name, (_fn, sql) in _text_entries().items():
-        o[name] = sql
+        if name in _TEXT_IN_BUDGET:
+            o[name] = sql
     return o

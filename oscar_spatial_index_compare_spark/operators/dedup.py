@@ -99,12 +99,33 @@ FROM documents
 # n-gram Jaccard near-dup
 # --------------------------------------------------------------------------
 
-def jaccard_pairs(docs: DataFrame, threshold_ppm: int = 500_000) -> DataFrame:
+# jaccard_pairs is the exact small-scale variant (full shingle self-join);
+# above this many documents it refuses and points at minhash_lsh_pairs, so
+# the O(collisions²) plan cannot become the 100 TB path by accident
+# (r04 VERDICT item 6)
+JACCARD_MAX_DOCS = 250_000
+
+
+def jaccard_pairs(docs: DataFrame, threshold_ppm: int = 500_000,
+                  max_docs: int | None = JACCARD_MAX_DOCS) -> DataFrame:
     """→ (doc_a, doc_b, jac_ppm) for pairs with Jaccard ≥ threshold.
 
     jac_ppm = 1e6·|∩| // |∪| (exact integer).  Candidates = pairs sharing a
     shingle (doc_a < doc_b).
+
+    SMALL-SCALE VARIANT: the shingle self-join blows up quadratically on
+    frequent shingles, so this is the oracle-verifiable exactness baseline,
+    not the scale path (that is ``minhash_lsh_pairs``).  Refuses above
+    ``max_docs`` documents (pass ``max_docs=None`` to override explicitly).
     """
+    if max_docs is not None:
+        n = docs.count()
+        if n > max_docs:
+            raise ValueError(
+                f"jaccard_pairs is the exact small-scale variant "
+                f"({n:,} docs > max_docs={max_docs:,}); use minhash_lsh_pairs "
+                f"for large corpora or pass max_docs=None to force"
+            )
     sh = shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")

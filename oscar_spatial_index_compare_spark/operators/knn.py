@@ -104,12 +104,37 @@ def _cell_doc_counts(probe: DataFrame, source: DataFrame,
         )
         if len(_COUNTS_CACHE) >= _COUNTS_CACHE_CAP:
             _COUNTS_CACHE.pop(next(iter(_COUNTS_CACHE)))
+        # a (re)computed counts entry invalidates any geometry cached under
+        # the same key (id() reuse after an eviction)
+        _GEOM_CACHE.pop(key, None)
         _COUNTS_CACHE[key] = (
             source,
             None if len(rows) > MAX_DRIVER_COUNT_CELLS
             else {int(r.cell_id): int(r.n) for r in rows},
         )
     return _COUNTS_CACHE[key][1]
+
+
+# per-(table, grid, res) populated-cell geometry: ids, counts, centers and a
+# safe circumradius (max haversine center→bbox corner).  Keyed and bounded
+# exactly like _COUNTS_CACHE; entries are pure numpy (no DataFrame refs —
+# the matching _COUNTS_CACHE entry already pins the table id).
+_GEOM_CACHE: dict[tuple, tuple] = {}
+
+
+def _cell_geometry(g, counts: dict[int, int], key: tuple) -> tuple:
+    if key not in _GEOM_CACHE:
+        cells = np.fromiter(counts.keys(), np.int64, len(counts))
+        n_arr = np.fromiter(counts.values(), np.int64, len(counts))
+        clat, clon = g.center(cells)
+        bb = g.bbox(cells)  # (n, 4): min_lat, max_lat, min_lon, max_lon
+        rad_km = np.zeros(len(cells))
+        for la, lo in ((0, 2), (0, 3), (1, 2), (1, 3)):
+            rad_km = np.maximum(rad_km, haversine_np(clat, clon, bb[:, la], bb[:, lo]))
+        if len(_GEOM_CACHE) >= _COUNTS_CACHE_CAP:
+            _GEOM_CACHE.pop(next(iter(_GEOM_CACHE)))
+        _GEOM_CACHE[key] = (cells, n_arr, clat, clon, rad_km)
+    return _GEOM_CACHE[key]
 
 
 def knn_docs(
@@ -155,7 +180,8 @@ def knn_docs(
             .select("query_id", "doc_id", "dist_m", "rank", "k")
         )
 
-    counts = _cell_doc_counts(probe, mcells, (id(mcells), grid, res))
+    key = (id(mcells), grid, res)
+    counts = _cell_doc_counts(probe, mcells, key)
     if counts is None:
         # populated-cell list too large for the driver (very deep res at
         # 100 TB): planar ring expansion with the conservative km bound
@@ -163,60 +189,42 @@ def knn_docs(
             spark, probe, g, s, queries, res, max_r, per_doc_topk
         )
 
-    # geometry of every populated cell, computed once per table: center +
-    # a safe circumradius (max haversine center→bbox corner)
-    cells = np.fromiter(counts.keys(), np.int64, len(counts))
-    clat, clon = g.center(cells)
-    bb = g.bbox(cells)  # (n, 4): min_lat, max_lat, min_lon, max_lon
-    rad_km = np.zeros(len(cells))
-    for la, lo in ((0, 2), (0, 3), (1, 2), (1, 3)):
-        rad_km = np.maximum(rad_km, haversine_np(clat, clon, bb[:, la], bb[:, lo]))
+    # geometry of every populated cell — cached per (table, grid, res)
+    # alongside the counts (r04 VERDICT item 7: recomputing center/bbox/
+    # circumradius arrays per call was pure fixed cost on repeat queries)
+    cells, n_arr, clat, clon, rad_km = _cell_geometry(g, counts, key)
 
-    # ---- phase 1: density-seeded disk probe → upper bound D on kth dist
+    # ---- phase 1, DRIVER-SIDE ONLY (r04 VERDICT item 7: this used to be a
+    # Spark probe job + collect — the dominant fixed cost of a cold batch):
+    # a provable upper bound D on the kth distance from density alone.
+    # Sort populated cells by (center distance + circumradius); the first
+    # prefix holding ≥ k docs puts k docs within X = that prefix's max
+    # (center+radius), so kth-dist ≤ X — no probe query needed.
+    # ---- phase 2: provably complete candidate set — every populated cell
+    # whose NEAREST point (center distance − circumradius) can be within X
+    # (pole/antimeridian safe: pure haversine on cell geometry).
     qdf_all = F.broadcast(
         spark.createDataFrame(
             [(qid, lat, lon, k) for qid, lat, lon, k in queries],
             "query_id long, qlat double, qlon double, k int",
         )
     )
-    cand_rows = []
-    for qid, qlat, qlon, k in queries:
-        seed = int(g.cell(np.array([qlat]), np.array([qlon]), res)[0])
-        r = 2
-        while r < max_r and sum(
-            counts.get(int(c), 0) for c in g.disk(seed, r)
-        ) < k:
-            r *= 2
-        for c in g.disk(seed, min(r * 2, max_r)).tolist():
-            if int(c) in counts:
-                cand_rows.append((qid, int(c)))
     max_k = max(k for _, _, _, k in queries)
-    rows = []
-    if cand_rows:
-        cand = F.broadcast(
-            spark.createDataFrame(cand_rows, "query_id long, cand_cell long")
-        )
-        j1 = probe.join(cand, probe.cell_id == cand.cand_cell).join(qdf_all, "query_id")
-        rows = per_doc_topk(j1, max_k).collect()  # k-bounded
-    kth_m: dict[int, float] = {}
-    by_q: dict[int, int] = {}
-    for row in rows:
-        by_q[row.query_id] = by_q.get(row.query_id, 0) + 1
-        kth_m[row.query_id] = max(kth_m.get(row.query_id, 0), row.dist_m)
-
-    # ---- phase 2: provably complete candidate set — every populated cell
-    # whose nearest point can be within D of the query (pole/antimeridian
-    # safe: pure haversine on cell geometry, no planar-degree bound)
     final_rows = []
     for qid, qlat, qlon, k in queries:
-        if by_q.get(qid, 0) >= k:
-            # +0.5 m slack: kth dist is meter-rounded, so a doc tying at the
-            # same rounded dist_m just beyond the raw bound must stay in the
-            # candidate set for the doc_id tie-break (ADVICE r02)
-            d_km = kth_m[qid] / 1000.0 + 0.0005
-            mask = haversine_np(qlat, qlon, clat, clon) - rad_km <= d_km
+        center_d = haversine_np(qlat, qlon, clat, clon)
+        hi = center_d + rad_km
+        order = np.argsort(hi, kind="stable")
+        cum = np.cumsum(n_arr[order])
+        if cum[-1] >= k:
+            idx = int(np.searchsorted(cum, k))
+            # +0.5 m slack: dist_m is meter-rounded, so a doc tying at the
+            # same rounded dist_m just beyond the raw bound must stay in
+            # the candidate set for the doc_id tie-break (ADVICE r02)
+            d_km = float(hi[order[idx]]) + 0.0005
+            mask = center_d - rad_km <= d_km
         else:
-            mask = np.ones(len(cells), bool)  # < k found: scan all populated
+            mask = np.ones(len(cells), bool)  # < k docs exist: scan all
         for c in cells[mask]:
             final_rows.append((qid, int(c)))
     cand2 = F.broadcast(

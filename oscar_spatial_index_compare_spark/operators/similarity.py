@@ -9,9 +9,13 @@ Two paths:
   * **LSH-bucketed ANN** — the 100-TB path: deterministic random-hyperplane
     sign bits (seed-free constants derived from index arithmetic) bucket the
     vectors; queries scan only matching buckets (optionally ±hamming-1
-    neighbors).  Recall is corpus-dependent → driver entry is rows-only;
-    tests/test_similarity.py asserts recall ≥ 0.6 vs brute force on sf0.001,
-    exact per-row scores, and near-dup recall ≥ 0.8 on injected duplicates.
+    neighbors).  Recall is corpus-dependent and pytest-gated (≥ 0.6 vs brute
+    force on sf0.001; near-dup ≥ 0.8 on injected duplicates), but the RESULT
+    itself is fully deterministic — the sign bits are pure double arithmetic
+    over literal hyperplanes — so ``ann_topk_oracle`` /
+    ``embedding_neardup_oracle`` reproduce the exact same candidate set and
+    scores in DuckDB (r04 VERDICT item 5: the two formerly rows-only driver
+    entries are now hash-checked end to end).
 """
 
 from __future__ import annotations
@@ -105,6 +109,40 @@ def lsh_bucket_col(vec_col, planes: np.ndarray):
     return bucket.cast("long")
 
 
+def _probe_set(q: list[float], planes: np.ndarray, hamming: int) -> set[int]:
+    """The multiprobe bucket set for one query vector: its own bucket plus
+    every bucket within ``hamming`` bit flips.  Driver-side arithmetic only —
+    shared by ann_topk / ann_topk_bucketed / ann_topk_oracle so the Spark
+    plan and the DuckDB oracle enumerate the identical probe list."""
+    v = np.asarray(q, dtype=np.float64)
+    n_p = len(planes)
+    b0 = sum((1 << j) if float(v @ planes[j]) >= 0 else 0 for j in range(n_p))
+    probes = {b0}
+    if hamming >= 1:
+        probes |= {b0 ^ (1 << j) for j in range(n_p)}
+    if hamming >= 2:
+        probes |= {
+            b0 ^ (1 << j) ^ (1 << j2)
+            for j in range(n_p) for j2 in range(j + 1, n_p)
+        }
+    return probes
+
+
+def _bucket_sql(planes: np.ndarray, emb: str = "CAST(embedding AS DOUBLE[])") -> str:
+    """DuckDB twin of lsh_bucket_col: the same sign-bit sum over the same
+    literal hyperplanes.  ``list_dot_product`` and Spark's sequential
+    zip_with/aggregate fold agree bit-for-bit (same order, double math) —
+    the precedent cosine_topk oracle has hash-matched on it since r02."""
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({emb}, {lit}) >= 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + "\n + ".join(terms) + ")"
+
+
 def ann_topk(
     emb: DataFrame, queries: list[tuple[int, list[float]]], k: int,
     spark: SparkSession, hamming: int = 2,
@@ -121,21 +159,8 @@ def ann_topk(
     planes = _planes()
     bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col("embedding"), planes))
     rows = []
-    n_p = len(planes)
     for qid, q in queries:
-        v = np.asarray(q, dtype=np.float64)
-        bits = [(1 << j) if float(v @ planes[j]) >= 0 else 0 for j in range(n_p)]
-        b0 = sum(bits)
-        probes = {b0}
-        if hamming >= 1:
-            for j in range(n_p):
-                probes.add(b0 ^ (1 << j))
-        if hamming >= 2:
-            for j in range(n_p):
-                for j2 in range(j + 1, n_p):
-                    probes.add(b0 ^ (1 << j) ^ (1 << j2))
-        for b in probes:
-            rows.append((qid, int(b)))
+        rows.extend((qid, int(b)) for b in _probe_set(q, planes, hamming))
     probe_df = F.broadcast(spark.createDataFrame(rows, "query_id long, bucket long"))
     cand = bucketed.join(probe_df, "bucket")
     parts = []
@@ -179,20 +204,9 @@ def ann_topk_bucketed(
     non-probed buckets are never read.  Same results as ann_topk."""
     emb = spark.read.parquet(path)
     planes = _planes()
-    n_p = len(planes)
     rows = []
     for qid, q in queries:
-        v = np.asarray(q, dtype=np.float64)
-        b0 = sum((1 << j) if float(v @ planes[j]) >= 0 else 0 for j in range(n_p))
-        probes = {b0}
-        if hamming >= 1:
-            probes |= {b0 ^ (1 << j) for j in range(n_p)}
-        if hamming >= 2:
-            probes |= {
-                b0 ^ (1 << j) ^ (1 << j2)
-                for j in range(n_p) for j2 in range(j + 1, n_p)
-            }
-        rows.extend((qid, int(b)) for b in probes)
+        rows.extend((qid, int(b)) for b in _probe_set(q, planes, hamming))
     probe_df = F.broadcast(spark.createDataFrame(rows, "query_id long, bucket long"))
     all_buckets = sorted({b for _, b in rows})
     cand = emb.where(F.col("bucket").isin(all_buckets)).join(probe_df, "bucket")
@@ -262,3 +276,74 @@ def embedding_neardup_pairs(emb: DataFrame, spark: SparkSession,
         F.floor(sim * F.lit(1_000_000.0) + F.lit(0.5)).cast("long").alias("sim_micro"),
     )
     return out.where(F.col("sim_micro") >= sim_threshold_micro)
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles for the LSH paths (r04 VERDICT item 5)
+# --------------------------------------------------------------------------
+
+def ann_topk_oracle(queries: list[tuple[int, list[float]]], k: int,
+                    hamming: int = 2) -> str:
+    """Exact DuckDB twin of ``ann_topk``: the sign-bit bucket of every vector
+    is recomputed in SQL from the same literal hyperplanes, each query scans
+    the identical multiprobe bucket list (enumerated by the shared
+    ``_probe_set``), and scores/ranks follow the cosine_topk oracle."""
+    planes = _planes()
+    bucket = _bucket_sql(planes)
+    sels = []
+    for qid, q in queries:
+        qlit = "[" + ", ".join(repr(float(x)) for x in q) + "]"
+        qn = repr(float(np.linalg.norm(np.asarray(q, dtype=np.float64))))
+        sim = (
+            f"list_dot_product(CAST(embedding AS DOUBLE[]), {qlit})"
+            f" / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
+            f" CAST(embedding AS DOUBLE[]))) * {qn})"
+        )
+        probes = ", ".join(str(b) for b in sorted(_probe_set(q, planes, hamming)))
+        sels.append(f"""
+SELECT * FROM (
+  SELECT CAST({qid} AS BIGINT) AS query_id, vec_id,
+         CAST(FLOOR(({sim}) * 1000000.0 + 0.5) AS BIGINT) AS sim_micro,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY CAST(FLOOR(({sim}) * 1000000.0 + 0.5) AS BIGINT) DESC, vec_id ASC
+         ) AS INT) AS rank
+  FROM embeddings
+  WHERE {bucket} IN ({probes})
+) WHERE rank <= {k}""")
+    return "\nUNION ALL\n".join(sels)
+
+
+def embedding_neardup_oracle(sim_threshold_micro: int = 990_000) -> str:
+    """Exact DuckDB twin of ``embedding_neardup_pairs``: per-band sign-bit
+    buckets in SQL, candidates = equal bucket in ANY band (union of the three
+    equi-joins, like the Spark plan), then the exact cosine verify."""
+    planes = _planes()
+    band_exprs = [
+        _bucket_sql(planes[b * PLANES_PER_BAND:(b + 1) * PLANES_PER_BAND],
+                    emb="CAST(embedding AS DOUBLE[])")
+        for b in range(N_NEARDUP_BANDS)
+    ]
+    band_cols = ", ".join(f"{e} AS b{i}" for i, e in enumerate(band_exprs))
+    cand_branches = "\n    UNION\n".join(
+        f"    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b"
+        f" FROM b a JOIN b c ON a.b{i} = c.b{i} AND a.vec_id < c.vec_id"
+        for i in range(N_NEARDUP_BANDS)
+    )
+    sim = ("list_dot_product(ea, eb)"
+           " / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)))")
+    return f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, {band_cols}
+  FROM embeddings
+), cand AS (
+{cand_branches}
+), scored AS (
+  SELECT cand.vec_a, cand.vec_b,
+         CAST(FLOOR(({sim}) * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+  FROM cand
+  JOIN (SELECT vec_id, e AS ea FROM b) x ON x.vec_id = cand.vec_a
+  JOIN (SELECT vec_id, e AS eb FROM b) y ON y.vec_id = cand.vec_b
+)
+SELECT vec_a, vec_b, sim_micro FROM scored
+WHERE sim_micro >= {sim_threshold_micro}
+"""

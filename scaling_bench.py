@@ -229,7 +229,7 @@ def _stream(nbytes: int) -> int:
     return s
 
 
-def hardware_probe() -> dict:
+def hardware_probe(mem_reps: int = 5) -> dict:
     """Measure THIS HOST's intrinsic 8→32-process scaling for (a) pure
     register-only CPU work and (b) memory-streaming work — the physical
     ceilings any software can reach here.  Measured on this sandbox: the
@@ -239,7 +239,14 @@ def hardware_probe() -> dict:
     efficiency between local[8] and local[32].  A real N→4N cluster adds
     machines (per-core clocks and per-node bandwidth constant), so raw
     sandbox wall-clock UNDER-measures cluster scaling; BENCH/BASELINE.md
-    reports both raw and ceiling-normalized efficiency."""
+    reports both raw and ceiling-normalized efficiency.
+
+    The memory probe was the unstable instrument of the r4 run (pre/post
+    swings up to 0.53 on identical host states — ADVICE r04): it now takes
+    the BEST (max-throughput) of ``mem_reps`` repeats per level, which
+    measures the bandwidth ceiling rather than one sample of transient
+    contention; the CPU probe agreed within 0.03 across r4 and keeps one
+    (longer) rep."""
     import multiprocessing as mp
 
     out = {}
@@ -248,10 +255,14 @@ def hardware_probe() -> dict:
         with mp.Pool(procs) as p:
             p.map(_spin, [60_000_000] * procs)
         out[f"cpu_{procs}"] = round(procs * 60_000_000 / (time.perf_counter() - t0) / 1e6, 1)
-        t0 = time.perf_counter()
-        with mp.Pool(procs) as p:
-            p.map(_stream, [256 * 1024 * 1024] * procs)
-        out[f"mem_{procs}"] = round(procs * 256 * 1024 * 1024 * 2 * 4 / (time.perf_counter() - t0) / 1e9, 1)
+        best = 0.0
+        for _ in range(mem_reps):
+            t0 = time.perf_counter()
+            with mp.Pool(procs) as p:
+                p.map(_stream, [256 * 1024 * 1024] * procs)
+            bw = procs * 256 * 1024 * 1024 * 2 * 4 / (time.perf_counter() - t0) / 1e9
+            best = max(best, bw)
+        out[f"mem_{procs}"] = round(best, 1)
     out["cpu_ceiling_eff"] = round(out[f"cpu_{N4_CORES}"] / out[f"cpu_{N_CORES}"] / 4.0, 3)
     out["mem_ceiling_eff"] = round(out[f"mem_{N4_CORES}"] / out[f"mem_{N_CORES}"] / 4.0, 3)
     return out
@@ -272,35 +283,60 @@ def start_cluster() -> tuple:
            "PYSPARK_PYTHON": sys.executable,
            "SPARK_LOCAL_DIRS": "/dev/shm/sparktmp"}
     cp = os.path.join(spark_dir, "jars", "*")
+
+    def _read(path: str) -> str:
+        with open(path) as fh:
+            return fh.read()
+
     mlog = os.path.join(logs, "master.log")
-    m = subprocess.Popen(
-        [java, "-Xmx1g", "-cp", cp, "org.apache.spark.deploy.master.Master",
-         "--host", "127.0.0.1", "--port", "0", "--webui-port", "0"],
-        stdout=open(mlog, "w"), stderr=subprocess.STDOUT, env=env)
+    with open(mlog, "w") as mfh:
+        m = subprocess.Popen(
+            [java, "-Xmx1g", "-cp", cp, "org.apache.spark.deploy.master.Master",
+             "--host", "127.0.0.1", "--port", "0", "--webui-port", "0"],
+            stdout=mfh, stderr=subprocess.STDOUT, env=env)
     url = None
     for _ in range(60):
         time.sleep(1)
-        got = re.search(r"Starting Spark master at (spark://\S+)",
-                        open(mlog).read())
+        got = re.search(r"Starting Spark master at (spark://\S+)", _read(mlog))
         if got:
             url = got.group(1)
             break
     if url is None:
-        m.terminate()
+        _stop_daemons(m)
         raise RuntimeError(f"standalone master did not start, see {mlog}")
     wlog = os.path.join(logs, "worker.log")
-    w = subprocess.Popen(
-        [java, "-Xmx1g", "-cp", cp, "org.apache.spark.deploy.worker.Worker",
-         url, "--host", "127.0.0.1", "--cores", str(N4_CORES),
-         "--memory", "40g", "--webui-port", "0",
-         "--work-dir", os.path.join(logs, "work")],
-        stdout=open(wlog, "w"), stderr=subprocess.STDOUT, env=env)
+    with open(wlog, "w") as wfh:
+        w = subprocess.Popen(
+            [java, "-Xmx1g", "-cp", cp, "org.apache.spark.deploy.worker.Worker",
+             url, "--host", "127.0.0.1", "--cores", str(N4_CORES),
+             "--memory", "40g", "--webui-port", "0",
+             "--work-dir", os.path.join(logs, "work")],
+            stdout=wfh, stderr=subprocess.STDOUT, env=env)
     for _ in range(60):
         time.sleep(1)
-        if "Successfully registered" in open(wlog).read():
+        if "Successfully registered" in _read(wlog):
             return m, w, url
-    m.terminate(), w.terminate()
+    _stop_daemons(m, w)
     raise RuntimeError(f"standalone worker did not register, see {wlog}")
+
+
+def _stop_daemons(*procs) -> None:
+    """terminate → wait(10s) → kill fallback so a stubborn daemon cannot
+    leave JVMs (and a populated /dev/shm/sparktmp) behind (ADVICE r04)."""
+    for p in procs:
+        try:
+            p.terminate()
+        except OSError:
+            pass
+    for p in procs:
+        try:
+            p.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                pass
 
 
 def _write_baseline(windows: list, n_docs: int, n_windows: int) -> dict:
@@ -322,12 +358,31 @@ def _write_baseline(windows: list, n_docs: int, n_windows: int) -> dict:
     med_build = statistics.median(p["eff_build"] for p in clean)
     med_text = statistics.median(p["eff_text"] for p in clean)
     med_query = statistics.median(p["eff_query"] for p in clean)
-    # each headline eff normalizes by ITS OWN window's ceiling
-    nb_cpu, nb_mem = eff_build / bw["cpu_ceiling"], eff_build / bw["mem_ceiling"]
-    nt_cpu, nt_mem = eff_text / tw["cpu_ceiling"], eff_text / tw["mem_ceiling"]
-    nq_cpu, nq_mem = eff_query / qw["cpu_ceiling"], eff_query / qw["mem_ceiling"]
+
+    # each headline eff normalizes by ITS OWN window's ceiling, CAPPED at
+    # 1.0: a raw/ceiling quotient above 1.0 is physically meaningless — it
+    # means the probe's ceiling did not apply to that pass (e.g. the probe
+    # sampled a host state the timed reps never saw) — so it is clamped and
+    # flagged rather than published (ADVICE r04: r4 shipped a 1.21)
+    capped = {"any": False}
+
+    def _norm(eff: float, ceiling: float) -> float:
+        v = eff / ceiling
+        if v > 1.0:
+            capped["any"] = True
+            return 1.0
+        return v
+
+    nb_cpu, nb_mem = _norm(eff_build, bw["cpu_ceiling"]), _norm(eff_build, bw["mem_ceiling"])
+    nt_cpu, nt_mem = _norm(eff_text, tw["cpu_ceiling"]), _norm(eff_text, tw["mem_ceiling"])
+    nq_cpu, nq_mem = _norm(eff_query, qw["cpu_ceiling"]), _norm(eff_query, qw["mem_ceiling"])
     cpu_ceiling = bw["cpu_ceiling"]
     mem_ceiling = bw["mem_ceiling"]
+    window_word = ("best UNCLEAN window (no clean window existed)"
+                   if no_clean_window else "best clean window")
+    cap_note = (" (a normalized value hit the 1.0 cap: the probe ceiling did"
+                " not apply to that pass; raw is authoritative there)"
+                if capped["any"] else "")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     win_rows = "\n".join(
         f"| {i}{'' if p['clean'] else ' (unclean)'} "
@@ -368,7 +423,7 @@ cluster would replace with per-node NVMe) does not cap the parallel
 fraction.
 
 **Hardware ceiling (measured by the in-harness probes, not assumed):** in
-the best clean window this sandbox's 32 vCPUs delivered only ~{4*cpu_ceiling:.1f}x the
+the {window_word} this sandbox's 32 vCPUs delivered only ~{4*cpu_ceiling:.1f}x the
 pure-CPU throughput and ~{4*mem_ceiling:.1f}x the memory-stream bandwidth of 8 vCPUs
 (all-core frequency/power ceiling; /proc/stat steal = 0) — a PERFECTLY
 parallel job cannot exceed **{cpu_ceiling:.2f}** (CPU-bound) / **{mem_ceiling:.2f}** (bandwidth-bound)
@@ -406,9 +461,10 @@ Best-window detail:
 | token postings rows | {rn['n_postings']:,} | {r4n['n_postings']:,} |
 | region docs matched | {rn['region_docs']:,} | {r4n['region_docs']:,} |
 
-**Scaling efficiency (T_N / (4·T_4N))** — best clean window, with the
-clean-window median alongside (r03 VERDICT: pair the headline with the
-median); each normalized by its OWN window's bracketing-probe ceiling:
+**Scaling efficiency (T_N / (4·T_4N))** — {window_word}, with the
+same-pool median alongside (r03 VERDICT: pair the headline with the
+median); each normalized by its OWN window's bracketing-probe ceiling,
+normalized values capped at 1.0{cap_note}:
 * spatial index build: raw best **{eff_build:.2f}** / median **{med_build:.2f}** → ceiling-normalized best **{nb_cpu:.2f}** (vs CPU) / **{nb_mem:.2f}** (vs bandwidth)
 * token-postings build: raw best **{eff_text:.2f}** / median **{med_text:.2f}** → ceiling-normalized best **{nt_cpu:.2f}** (vs CPU) / **{nt_mem:.2f}** (vs bandwidth)
 * query batch: raw best **{eff_query:.2f}** / median **{med_query:.2f}** → ceiling-normalized best **{nq_cpu:.2f}** (vs CPU) / **{nq_mem:.2f}** (vs bandwidth)
@@ -420,8 +476,17 @@ mention/postings/region-doc counts identical at both levels.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
+    # clean/partial flags travel with the summary JSON so downstream
+    # consumers of the final printed line can tell whether the numbers came
+    # from a clean window (ADVICE r04)
     return {"eff_build": round(eff_build, 3), "eff_text": round(eff_text, 3),
-            "eff_query": round(eff_query, 3)}
+            "eff_query": round(eff_query, 3),
+            "norm_build": round(max(nb_cpu, nb_mem), 3),
+            "norm_text": round(max(nt_cpu, nt_mem), 3),
+            "norm_query": round(max(nq_cpu, nq_mem), 3),
+            "clean_window": not no_clean_window,
+            "partial": len(windows) < n_windows,
+            "n_windows": len(windows)}
 
 
 def main() -> None:
@@ -469,12 +534,18 @@ def main() -> None:
             # probes AGREE (and neither implies a physically impossible >1.0
             # ratio).  An absolute band is wrong — the true ceiling itself
             # swings ~2x with neighbor load, and a consistently fast host is a
-            # valid (conservative) measurement window.
+            # valid (conservative) measurement window.  The CPU axis is the
+            # host-shift detector (it agreed within 0.03 across all r4
+            # probes); the mem axis gets a wider band (0.25) now that the
+            # probe itself is best-of-k stabilized — r4's 0.15 band on a
+            # single-sample mem probe could NEVER pass (instrument noise
+            # alone exceeded it), which made the clean-window headline
+            # path dead code (ADVICE r04).
             pair["clean"] = all(
                 p[k] <= 1.0 for p in (pre, post)
                 for k in ("cpu_ceiling_eff", "mem_ceiling_eff")
             ) and abs(pre["cpu_ceiling_eff"] - post["cpu_ceiling_eff"]) <= 0.15 \
-              and abs(pre["mem_ceiling_eff"] - post["mem_ceiling_eff"]) <= 0.15
+              and abs(pre["mem_ceiling_eff"] - post["mem_ceiling_eff"]) <= 0.25
             pair["eff_build"] = round(pair[N_CORES]["build_sec"] / (4.0 * pair[N4_CORES]["build_sec"]), 3)
             pair["eff_text"] = round(pair[N_CORES]["text_sec"] / (4.0 * pair[N4_CORES]["text_sec"]), 3)
             pair["eff_query"] = round(pair[N_CORES]["query_sec"] / (4.0 * pair[N4_CORES]["query_sec"]), 3)
@@ -485,8 +556,7 @@ def main() -> None:
             windows.append(pair)
             summary = _write_baseline(windows, n_docs, n_windows)
     finally:
-        wproc.terminate()
-        mproc.terminate()
+        _stop_daemons(wproc, mproc)
     print(json.dumps(summary))
 
 

@@ -32,3 +32,17 @@ def test_long_chain_converges(spark):
                                   "doc_a long, doc_b long")
     got = {r.cluster_id for r in dup_clusters(pairs).collect()}
     assert got == {0}
+
+
+def test_jaccard_guard_refuses_large_corpus(spark):
+    # the exact shingle self-join is the small-scale oracle variant only;
+    # above max_docs it must refuse and point at minhash_lsh_pairs
+    import pytest
+
+    from oscar_spatial_index_compare_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")],
+                                 "doc_id long, text string")
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        jaccard_pairs(docs, 500_000, max_docs=1)
+    assert jaccard_pairs(docs, 100_000, max_docs=None).count() == 1
