@@ -95,166 +95,129 @@ def token_postings(tdocs: DataFrame, dcells: DataFrame, ctotals: DataFrame) -> D
     )
 
 
-def _pm_lists(pm_pairs: DataFrame, pm_keys_n: DataFrame, key: list[str],
-              hot_threshold: int | None) -> DataFrame:
-    """collect_list of doc_id per ``key`` group with conditional two-phase
-    salting for hot groups (> hot_threshold docs).  ``pm_keys_n`` must carry
-    ``key`` + ``n_matched`` (the count pass's exact group sizes — salting
-    reuses it, so hot detection costs no extra pass)."""
-    from .index_build import HOT_SALT_BUCKETS
-
-    if hot_threshold is None:
-        return pm_pairs.groupBy(*key).agg(
-            F.array_sort(F.collect_list("doc_id")).alias("m_docs"))
-    hot = pm_keys_n.where(F.col("n_matched") > hot_threshold).select(*key)
-    cold = pm_pairs.join(F.broadcast(hot), key, "left_anti").groupBy(
-        *key
-    ).agg(F.array_sort(F.collect_list("doc_id")).alias("m_docs"))
-    hot_salted = pm_pairs.join(F.broadcast(hot), key, "left_semi").withColumn(
-        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(HOT_SALT_BUCKETS)))
-    hot_partial = hot_salted.groupBy(*key, "_salt").agg(
-        F.collect_list("doc_id").alias("_part"))
-    hot_sets = hot_partial.groupBy(*key).agg(
-        F.array_sort(F.flatten(F.collect_list("_part"))).alias("m_docs"))
-    return cold.unionByName(hot_sets)
+# docs per (cell, salt) group of the Arrow-grouped build: bounds both the
+# pandas group's memory (≈ target · |toks| token refs) and the straggler
+# tail (a 10M-doc metro cell fans out to 200 salted groups, not one task)
+TARGET_GROUP_DOCS = 50_000
 
 
 def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
                              grid: str, res: int,
                              n_docs_hint: int | None = None,
-                             broadcast_fm: bool = True,
-                             hash_col=None) -> DataFrame:
-    """One-pass variant over doc_index_base (doc_id, toks, cells): the
-    (token, doc, cell) fan-out is a pure double explode — no join with a
-    doc_cells table at all (that join was the dominant shuffle of the r01
-    build; VERDICT perf finding).  One wide groupBy + one aggregated join.
+                             target_docs: int = TARGET_GROUP_DOCS) -> DataFrame:
+    """Arrow-grouped posting build over doc_index_base (doc_id, toks, cells)
+    — the r05 scaling-gate rewrite (r04 VERDICT item 1).
 
-    ``count(*)`` == distinct docs per (token, cell) because toks and cells
-    are array_distinct per doc, so each (token, doc, cell) row is unique.
+    The r04 shape exploded every (token, doc, cell) triple BEFORE the
+    exchange and shuffle-sorted ~40 triples per (doc, cell) — the shuffle
+    and sort of ~10⁹ slim rows was the named non-scaling pass (0.34-0.40
+    raw).  This build keeps the token fan-out OUT of the shuffle entirely:
 
-    Two-pass shape (r04, the scaling-gate straggler fix):
+      stage 0  one narrow pass: explode ``cells`` only → (doc_id, toks,
+               cell_id) + a broadcast join against cell_totals for
+               ``n_total`` and the per-cell salt factor.  The exchange
+               carries ONE row per (doc, cell) with the doc's token array —
+               ~|toks|× fewer rows and ~8× fewer bytes than the triple
+               stream (measured 24 GB → 0.6 GB at 1M docs).
+      stage 1  ``applyInPandas`` over (cell_id, salt): the (token → sorted
+               doc list) fan-out runs in numpy/pandas INSIDE each group
+               (``pd.factorize`` + one argsort of int codes — C speed, no
+               per-row Python).  Groups whose cell fits one salt bucket
+               classify fm locally (len == n_total) and emit doc_ids NULL —
+               the reference's fm-bit compression
+               (``src/OscarSearchSgIndex.cpp:178-197``) applied before the
+               lists ever cross Arrow.
+      stage 2  only SALTED (hot-cell) groups emit partial lists; one
+               output-sized groupBy merges them and classifies fm against
+               the broadcast totals.  Cold cells skip this entirely.
 
-      pass 1  count-only groupBy (fully map-combined — shuffle carries one
-              long per group-partial, not per triple) ⋈ cell_totals
-              → classifies every (token, cell) group fm/pm AND hot/cold
-      pass 2  collect_list over the **pm triples only**, with explicit
-              two-phase salting for the hot pm groups
+    Exactness: toks/cells are array_distinct per doc, so each (token, doc,
+    cell) pair occurs once and per-group counts are exact; salting splits
+    groups by doc hash, and the merge pass restores exact lists/counts
+    (row-identical to the r04 build — verified A≡C on the 250k-doc corpus
+    and by the oracle suite).  ``n_docs_hint`` ≤ target_docs proves no cell
+    can need salting (a cell never exceeds the corpus doc count) and pins
+    the salt factor to 1, dropping the merge branch from the plan.
 
-    fm groups (a token matching every doc of a cell — common tokens in
-    dense cells, the largest lists) ship NO doc ids at all: their lists are
-    recovered from cell_totals at query time (doc_ids NULL — the
-    reference's fm-bit compression, ``src/OscarSearchSgIndex.cpp:178-197``,
-    applied at BUILD time so it also elides their shuffle volume; measured
-    24% of all doc-slots on the 1M-doc scaling corpus).  The count pass
-    doubles as the hot-group detection, so salting costs no extra pass; a
-    single reducer building one 100k+-id list was the named stage-tail
-    straggler of the r03 scaling gate.  ``n_docs_hint`` ≤ threshold proves
-    no group can be hot (a group never exceeds the corpus doc count) and
-    skips the salt split, not the count pass (fm classification needs it).
-
-    Physical shape of the list pass (profiled on the 1M-doc scaling corpus,
-    ~10^9 triples — the r04 scaling-gate work):
-
-      * the list-pass shuffle carries SLIM FIXED-WIDTH rows ``(th, cell_id,
-        doc_id)`` — three longs, no token string.  ``th = xxhash64(token)``;
-        the vanishingly-rare case of two tokens sharing a th is detected
-        from the count pass (``colls``) and those tokens are routed through
-        a string-keyed path instead, so the result is exact at any scale
-        while the hot shuffle stays 24 bytes/row and radix-sortable (string
-        keys forced comparison-based sorting and ~40% more shuffle bytes —
-        the text build is memory-bandwidth-bound on the bench host, so row
-        width is wall time).  Tokens are recovered after aggregation by an
-        output-sized join against the count pass's (th, cell_id → token)
-        groups.
-      * the fm anti-join build side is an explicit ``F.broadcast``: left
-        alone, AQE planned a sort-merge anti join that SORTED all triples
-        (~6x the broadcast-probe wall); broadcast makes the probe a pure
-        map pass.  fm-key cardinality is bounded by vocab × populated
-        cells and shrinks relatively as cells densify (fm needs a token in
-        EVERY doc of the cell), so the build side stays broadcastable as
-        the corpus grows; ``broadcast_fm=False`` restores the AQE-chosen
-        join for a corpus whose dictionary genuinely outgrows the driver.
-        The count pass, colls, fm and hot broadcasts all hang off the SAME
-        count-aggregation exchange, which Spark's ReuseExchange executes
-        once per action.
-      * the caller should run the terminal action under
-        ``sorted_list_agg``: collect_list via ObjectHashAggregate was 3-4x
-        slower than SortAggregate on this volume (object-buffer churn);
-        the scoped conf flips only typed-imperative aggregates, so
-        count/sum HashAggregates elsewhere are untouched.
-
-    ``hash_col`` overrides the token-hash expression (tests narrow it to
-    force th collisions and exercise the string-keyed path).
+    Measured (250k docs, local[8], same sortWithinPartitions+write action):
+    r04 slim-key two-pass 94-103 s → this build 35 s; the hot shuffle/sort
+    volume falls |toks|-fold, which is also what the N→4N gate needs — the
+    4N level pays netty transfer for shuffle bytes that the 1-executor
+    level reads locally.
     """
-    from .index_build import HOT_CELL_THRESHOLD
+    import pandas as pd  # noqa: F401 — required on workers; import-checked here
 
-    hot_threshold: int | None = HOT_CELL_THRESHOLD
-    if n_docs_hint is not None and n_docs_hint <= hot_threshold:
-        hot_threshold = None
-    key3 = ["th", "token", "cell_id"]
-    key2 = ["th", "cell_id"]
-    pairs = base.select(
-        "doc_id", F.explode("toks").alias("token"), "cells"
-    ).select("token", "doc_id", F.explode("cells").alias("cell_id")
-             ).withColumn(
-        "th", hash_col if hash_col is not None else F.xxhash64("token"))
-    # count(*) == distinct docs per group (triples distinct, see docstring)
-    counts = pairs.groupBy(*key3).agg(F.count("*").alias("n_matched"))
-    cls = counts.join(
-        ctotals.select("cell_id", F.col("n_docs").alias("n_total")), "cell_id"
+    no_salt = n_docs_hint is not None and n_docs_hint <= target_docs
+    salt_expr = (F.lit(1) if no_salt else
+                 F.greatest(F.lit(1), F.ceil(F.col("n_docs") / F.lit(target_docs))))
+    ctb = ctotals.select(
+        "cell_id", F.col("n_docs").alias("n_total"),
+        salt_expr.cast("int").alias("_nsalt"),
     )
-    fm_keys = cls.where(F.col("n_matched") == F.col("n_total")).select(
-        *key3, "n_matched")
-    pm_keys = cls.where(F.col("n_matched") < F.col("n_total")).select(
-        *key3, "n_matched")
-    # th values shared by >1 distinct token (usually NONE): their triples
-    # take the exact string-keyed path below
-    colls = (cls.select("th", "token").distinct()
-             .groupBy("th").agg(F.count("*").alias("_nt"))
-             .where(F.col("_nt") > 1).select("th"))
-    # ---- safe path: th <-> token bijective, slim long-only keys
-    pairs_safe = pairs.join(F.broadcast(colls), "th", "left_anti").drop("token")
-    fm_safe = fm_keys.join(F.broadcast(colls), "th", "left_anti").select(*key2)
-    if broadcast_fm:
-        fm_safe = F.broadcast(fm_safe)
-    pm_pairs_safe = pairs_safe.join(fm_safe, key2, "left_anti")
-    pm_keys_safe = pm_keys.join(F.broadcast(colls), "th", "left_anti")
-    lists_safe = _pm_lists(pm_pairs_safe, pm_keys_safe.select(*key2, "n_matched"),
-                           key2, hot_threshold)
-    # token recovery: exactly one pm group row per safe (th, cell_id).
-    # The token side MUST be the broadcast build side — a shuffle join here
-    # would move the aggregated doc arrays (the largest frame of the whole
-    # build) a second time; the key->token map is group-count-sized
-    tok_map = pm_keys_safe.select(*key2, "token")
-    if broadcast_fm:
-        tok_map = F.broadcast(tok_map)
-    pm_safe = lists_safe.join(tok_map, key2)
-    # ---- collided path: token string in the key, exact (normally empty)
-    pairs_coll = pairs.join(F.broadcast(colls), "th", "left_semi")
-    fm_coll = fm_keys.join(F.broadcast(colls), "th", "left_semi").select(*key3)
-    if broadcast_fm:
-        fm_coll = F.broadcast(fm_coll)
-    pm_pairs_coll = pairs_coll.join(fm_coll, key3, "left_anti")
-    pm_keys_coll = pm_keys.join(F.broadcast(colls), "th", "left_semi")
-    lists_coll = _pm_lists(pm_pairs_coll, pm_keys_coll.select(*key3, "n_matched"),
-                           key3, hot_threshold)
-    pm_sets = pm_safe.select("token", "cell_id", "m_docs").unionByName(
-        lists_coll.select("token", "cell_id", "m_docs"))
+    pairs = base.select(
+        "doc_id", "toks", F.explode("cells").alias("cell_id")
+    ).join(F.broadcast(ctb), "cell_id").withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.col("_nsalt")).cast("int")
+    )
+    out_schema = ("token string, cell_id long, doc_ids array<long>, "
+                  "n_docs long, is_fm boolean, partial boolean")
+
+    def build(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cell = int(pdf["cell_id"].iloc[0])
+        n_total = int(pdf["n_total"].iloc[0])
+        complete = int(pdf["_nsalt"].iloc[0]) == 1
+        docs = pdf["doc_id"].to_numpy()
+        toks = pdf["toks"].to_numpy()
+        lens = np.fromiter((len(t) for t in toks), np.int64, len(toks))
+        if int(lens.sum()) == 0:
+            return pd.DataFrame(columns=["token", "cell_id", "doc_ids",
+                                         "n_docs", "is_fm", "partial"])
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        drep = np.repeat(docs, lens)
+        codes, uniq = pd.factorize(flat)
+        order = np.argsort(codes, kind="stable")
+        cs, ds = codes[order], drep[order]
+        cut = np.flatnonzero(np.diff(cs)) + 1
+        starts = np.r_[0, cut]
+        ends = np.r_[cut, len(cs)]
+        tokens = uniq[cs[starts]]
+        doc_lists, ns, fms = [], [], []
+        for s, e in zip(starts, ends):
+            n = int(e - s)
+            if complete and n == n_total:
+                doc_lists.append(None)  # fm: list recoverable from totals
+                fms.append(True)
+            else:
+                doc_lists.append(np.sort(ds[s:e]))
+                fms.append(False)
+            ns.append(n)
+        return pd.DataFrame({
+            "token": tokens, "cell_id": cell, "doc_ids": doc_lists,
+            "n_docs": ns, "is_fm": fms, "partial": not complete,
+        })
+
+    grouped = pairs.groupBy("cell_id", "_salt").applyInPandas(build, out_schema)
     head = [F.lit("exact").alias("qt"), F.lit(grid).alias("grid"),
             F.lit(res).alias("res")]
-    fm_out = fm_keys.select(
+    done = grouped.where(~F.col("partial")).select(
+        "token", *head, "cell_id", "is_fm", "doc_ids",
+        F.col("n_docs").cast("long").alias("n_docs"))
+    if no_salt:
+        return done
+    merged = grouped.where(F.col("partial")).groupBy("token", "cell_id").agg(
+        F.array_sort(F.flatten(F.collect_list("doc_ids"))).alias("m_docs"),
+        F.sum("n_docs").alias("n"),
+    ).join(F.broadcast(ctb.select("cell_id", "n_total")), "cell_id").select(
         "token", *head, "cell_id",
-        F.lit(True).alias("is_fm"),
-        F.lit(None).cast("array<long>").alias("doc_ids"),
-        F.col("n_matched").cast("long").alias("n_docs"),
+        (F.col("n") == F.col("n_total")).alias("is_fm"),
+        F.when(F.col("n") == F.col("n_total"), F.lit(None))
+        .otherwise(F.col("m_docs")).alias("doc_ids"),
+        F.col("n").cast("long").alias("n_docs"),
     )
-    pm_out = pm_sets.select(
-        "token", *head, "cell_id",
-        F.lit(False).alias("is_fm"),
-        F.col("m_docs").alias("doc_ids"),
-        F.size("m_docs").cast("long").alias("n_docs"),
-    )
-    return fm_out.unionByName(pm_out)
+    return done.unionByName(merged)
 
 
 def match_tokens(all_tokens: list[str], pattern: str, qt: str) -> list[str]:

@@ -68,13 +68,11 @@ def _tp_rows(tp):
     )
 
 
-def test_th_collision_path_exact(spark, engine):
-    """The slim-key list pass routes hash-collided tokens through the
-    string-keyed path: narrowing the token hash to 4 buckets forces heavy
-    collisions, and the output must equal the default (collision-free)
-    build row for row — lists included."""
-    from pyspark.sql import functions as F
-
+def test_salted_groups_exact(spark, engine):
+    """The Arrow-grouped build's hot-cell salting (target_docs forced to 1 —
+    EVERY multi-doc cell splits into per-doc salted groups, so every list
+    goes through the partial-merge path) must equal the unsalted build row
+    for row — fm classification and lists included."""
     from oscar_spatial_index_compare_spark.operators.index_build import (
         cell_totals_from_base, doc_index_base,
     )
@@ -82,37 +80,28 @@ def test_th_collision_path_exact(spark, engine):
     base = doc_index_base(engine.docs, "zxy", 9)
     ct = cell_totals_from_base(base, "zxy", 9)
     default = token_postings_from_base(base, ct, "zxy", 9)
-    collided = token_postings_from_base(
-        base, ct, "zxy", 9,
-        hash_col=F.pmod(F.xxhash64("token"), F.lit(4)).cast("long"))
-    assert _tp_rows(collided) == _tp_rows(default)
-    # sanity: the narrowed hash really does collide (else the test is void)
-    n_tok = base.select(F.explode("toks").alias("t")).select("t").distinct().count()
-    assert n_tok > 4
+    salted = token_postings_from_base(base, ct, "zxy", 9, target_docs=1)
+    rows_d = _tp_rows(default)
+    assert _tp_rows(salted) == rows_d
+    # sanity: the default build really has fm rows AND multi-doc lists
+    # (else the salting equivalence is vacuous)
+    assert any(r[2] for r in rows_d)
+    assert any(r[3] is not None and len(r[3]) > 1 for r in rows_d)
 
 
-def test_th_collision_path_exact_with_salting(spark):
-    """Same exactness when the hot-group salted aggregation is active
-    (hot_threshold forced to 1 via a tiny corpus + n_docs_hint omitted —
-    every multi-doc group goes through the salted two-phase path)."""
-    from pyspark.sql import functions as F
-
-    from oscar_spatial_index_compare_spark.operators.index_build import (
-        cell_totals_from_base, doc_index_base,
-    )
-
+def test_no_salt_hint_exact(spark):
+    """n_docs_hint ≤ target_docs pins the salt factor to 1 (merge branch
+    dropped from the plan) — rows must match the hintless build."""
     docs = spark.createDataFrame(
         [(i, "paris bridge" if i % 2 else "paris museum") for i in range(12)],
         "doc_id long, text string",
     )
+    from oscar_spatial_index_compare_spark.operators.index_build import (
+        cell_totals_from_base, doc_index_base,
+    )
+
     base = doc_index_base(docs, "zxy", 9)
     ct = cell_totals_from_base(base, "zxy", 9)
-    import unittest.mock as mock
-
+    hinted = token_postings_from_base(base, ct, "zxy", 9, n_docs_hint=12)
     default = _tp_rows(token_postings_from_base(base, ct, "zxy", 9))
-    with mock.patch("oscar_spatial_index_compare_spark.operators."
-                    "index_build.HOT_CELL_THRESHOLD", 1):
-        collided = token_postings_from_base(
-            base, ct, "zxy", 9,
-            hash_col=F.pmod(F.xxhash64("token"), F.lit(2)).cast("long"))
-        assert _tp_rows(collided) == default
+    assert _tp_rows(hinted) == default
