@@ -119,10 +119,13 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
                carries ONE row per (doc, cell) with the doc's token array —
                ~|toks|× fewer rows and ~8× fewer bytes than the triple
                stream (measured 24 GB → 0.6 GB at 1M docs).
-      stage 1  ``applyInPandas`` over (cell_id, salt): the (token → sorted
-               doc list) fan-out runs in numpy/pandas INSIDE each group
-               (``pd.factorize`` + one argsort of int codes — C speed, no
-               per-row Python).  Groups whose cell fits one salt bucket
+      stage 1  ``applyInArrow`` over (cell_id, salt): the (token → sorted
+               doc list) fan-out runs INSIDE each group on native Arrow
+               buffers — zero-copy ``list_flatten``, C++
+               ``dictionary_encode`` for the token ids, and ONE int
+               ``np.lexsort`` that groups tokens and sorts every token's
+               doc run in the same pass; no object-dtype strings, no
+               per-row Python.  Groups whose cell fits one salt bucket
                classify fm locally (len == n_total) and emit doc_ids NULL —
                the reference's fm-bit compression
                (``src/OscarSearchSgIndex.cpp:178-197``) applied before the
@@ -145,8 +148,6 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
     4N level pays netty transfer for shuffle bytes that the 1-executor
     level reads locally.
     """
-    import pandas as pd  # noqa: F401 — required on workers; import-checked here
-
     no_salt = n_docs_hint is not None and n_docs_hint <= target_docs
     salt_expr = (F.lit(1) if no_salt else
                  F.greatest(F.lit(1), F.ceil(F.col("n_docs") / F.lit(target_docs))))
@@ -159,47 +160,82 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
     ).join(F.broadcast(ctb), "cell_id").withColumn(
         "_salt", F.pmod(F.xxhash64("doc_id"), F.col("_nsalt")).cast("int")
     )
+    # EXPLICIT partition count for the group exchange: AQE sizes post-shuffle
+    # stages by shuffle BYTES, but this stage's cost is the ~|toks|× token
+    # fan-out of those bytes — left to AQE it coalesced a 32-core stage down
+    # to ~5 tasks (measured: 67 s at BOTH 8 and 32 cores, zero scaling).  An
+    # explicit repartition on the exact grouping keys satisfies
+    # FlatMapGroupsInPandas' clustering requirement (no second exchange) and
+    # is exempt from AQE coalescing.
+    n_shuffle = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    pairs = pairs.repartition(n_shuffle, "cell_id", "_salt")
     out_schema = ("token string, cell_id long, doc_ids array<long>, "
                   "n_docs long, is_fm boolean, partial boolean")
 
-    def build(pdf):
+    def build(table):
+        # applyInArrow kernel: everything stays in Arrow/numpy native
+        # buffers — list_flatten is zero-copy, dictionary_encode is the
+        # C++ hash table, and ONE int lexsort groups tokens AND sorts each
+        # token's doc run in the same pass (a first pandas version of this
+        # kernel paid ~2x the whole build in object-dtype string handling)
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        cell = int(pdf["cell_id"].iloc[0])
-        n_total = int(pdf["n_total"].iloc[0])
-        complete = int(pdf["_nsalt"].iloc[0]) == 1
-        docs = pdf["doc_id"].to_numpy()
-        toks = pdf["toks"].to_numpy()
-        lens = np.fromiter((len(t) for t in toks), np.int64, len(toks))
-        if int(lens.sum()) == 0:
-            return pd.DataFrame(columns=["token", "cell_id", "doc_ids",
-                                         "n_docs", "is_fm", "partial"])
-        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        toks = table.column("toks").combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        total = int(lens.sum())
+        empty = pa.table({
+            "token": pa.array([], pa.string()),
+            "cell_id": pa.array([], pa.int64()),
+            "doc_ids": pa.array([], pa.list_(pa.int64())),
+            "n_docs": pa.array([], pa.int64()),
+            "is_fm": pa.array([], pa.bool_()),
+            "partial": pa.array([], pa.bool_()),
+        })
+        if total == 0:
+            return empty
+        cell = table.column("cell_id")[0].as_py()
+        n_total = table.column("n_total")[0].as_py()
+        complete = table.column("_nsalt")[0].as_py() == 1
+        flat = pc.list_flatten(toks)
+        dic = pc.dictionary_encode(flat)
+        if isinstance(dic, pa.ChunkedArray):  # multi-chunk input path
+            dic = dic.combine_chunks()
+            if isinstance(dic, pa.ChunkedArray):
+                dic = dic.chunk(0)
+        codes = dic.indices.to_numpy()
+        uniq = dic.dictionary
+        docs = table.column("doc_id").to_numpy()
         drep = np.repeat(docs, lens)
-        codes, uniq = pd.factorize(flat)
-        order = np.argsort(codes, kind="stable")
+        order = np.lexsort((drep, codes))  # token-grouped, docs sorted within
         cs, ds = codes[order], drep[order]
         cut = np.flatnonzero(np.diff(cs)) + 1
-        starts = np.r_[0, cut]
-        ends = np.r_[cut, len(cs)]
-        tokens = uniq[cs[starts]]
-        doc_lists, ns, fms = [], [], []
-        for s, e in zip(starts, ends):
-            n = int(e - s)
-            if complete and n == n_total:
-                doc_lists.append(None)  # fm: list recoverable from totals
-                fms.append(True)
-            else:
-                doc_lists.append(np.sort(ds[s:e]))
-                fms.append(False)
-            ns.append(n)
-        return pd.DataFrame({
-            "token": tokens, "cell_id": cell, "doc_ids": doc_lists,
-            "n_docs": ns, "is_fm": fms, "partial": not complete,
+        starts = np.concatenate([[0], cut])
+        ends = np.concatenate([cut, [len(cs)]])
+        ns = ends - starts
+        fm = np.zeros(len(ns), dtype=bool)
+        if complete:
+            fm = ns == n_total
+        # list offsets: fm rows contribute empty (null-masked) runs
+        keep_lens = np.where(fm, 0, ns)
+        offsets = np.concatenate([[0], np.cumsum(keep_lens)])
+        values = ds[np.repeat(~fm, ns)] if fm.any() else ds
+        doc_ids = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(values, pa.int64()),
+            mask=pa.array(fm),
+        )
+        k = len(ns)
+        return pa.table({
+            "token": uniq.take(pa.array(cs[starts], pa.int32())),
+            "cell_id": pa.array(np.full(k, cell, np.int64)),
+            "doc_ids": doc_ids,
+            "n_docs": pa.array(ns, pa.int64()),
+            "is_fm": pa.array(fm),
+            "partial": pa.array(np.full(k, not complete)),
         })
 
-    grouped = pairs.groupBy("cell_id", "_salt").applyInPandas(build, out_schema)
+    grouped = pairs.groupBy("cell_id", "_salt").applyInArrow(build, out_schema)
     head = [F.lit("exact").alias("qt"), F.lit(grid).alias("grid"),
             F.lit(res).alias("res")]
     done = grouped.where(~F.col("partial")).select(
