@@ -34,12 +34,20 @@ HOT_SALT_BUCKETS = 8
 # (doc,cell) rows a single group must exceed before the explicit two-phase
 # (salted) aggregation kicks in; below it a plain map-side-combined groupBy
 # is strictly cheaper (the salt pass doubles shuffle volume for cells that
-# were never hot — VERDICT r01 "universal salting" finding).  Lowered from
-# 1M in r04: the r03 scaling harness named the single-reducer tail of hot
-# postings groups as the residual straggler — at 100k rows the salted
-# two-phase splits a hot group's list-build 8 ways while the count-only
-# pre-pass stays cheap (fully map-combined).
-HOT_CELL_THRESHOLD = 100_000
+# were never hot — VERDICT r01 "universal salting" finding).  The threshold
+# models when ONE reduce task's list merge becomes the stage straggler:
+# with map-combined ``collect_list`` + ``array_sort`` (not collect_set hash
+# merges — see _doc_sets_by_cell), a group of X ids costs the reducer
+# 8·X bytes of appends + one O(X log X) sort ≈ milliseconds up to the
+# low millions.  Raised from 100k in r05: the pre-pass itself costs TWO
+# extra scans of the exploded input + a count shuffle, which at 1M docs
+# (max cell 204k rows) measured 1.6-1.8x SLOWER than just letting the
+# plain groupBy merge the "hot" cells (cell_totals write 2.98 s vs 1.88 s
+# at 4N, 5.27 s vs 2.90 s at N on the standalone scaling harness) — the
+# 100k setting made every build pay the detection cost to avoid a ~5 ms
+# sort.  At 4M rows the single-task merge is a ~32 MB buffer + ~1 s sort,
+# where splitting it 8 ways genuinely shortens the tail.
+HOT_CELL_THRESHOLD = 4_000_000
 
 
 def doc_index_full(docs: DataFrame, grid: str, res: int) -> DataFrame:

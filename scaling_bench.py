@@ -28,7 +28,7 @@ table counted against it — the columnar cache write was pure overhead once
 the create step serializes everything anyway, and it was one of the two
 named stage-tail stragglers.  The other (the single-reducer tail of hot
 postings groups) is addressed by conditional two-phase salting in
-token_postings_from_base / cell_totals (HOT_CELL_THRESHOLD 100k).
+token_postings_from_base / cell_totals (HOT_CELL_THRESHOLD 4M).
 Independent table writes are submitted CONCURRENTLY (threads): on a real
 cluster a build driver does exactly this, and it is what keeps 4N
 executors busy through each write's stage tail.  Queries run against the
@@ -449,7 +449,7 @@ cells + tokens) is written in a single corpus pass; mention_cells and the
 cell_totals→token_postings chain derive from the STORED base (pruned
 columnar reads) and are written sorted, the two independent write chains
 submitted concurrently from the driver.  Hot postings groups take the
-conditional salted two-phase aggregation (HOT_CELL_THRESHOLD 100k).
+conditional salted two-phase aggregation (HOT_CELL_THRESHOLD 4M).
 Queries follow the reference's create→query split: a 50-polygon query file
 runs as ONE Catalyst plan over the stored mention_cells (per-doc bitmap
 aggregation over run-length-compressed coverings with grid-derived run
