@@ -166,8 +166,16 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
     # to ~5 tasks (measured: 67 s at BOTH 8 and 32 cores, zero scaling).  An
     # explicit repartition on the exact grouping keys satisfies
     # FlatMapGroupsInPandas' clustering requirement (no second exchange) and
-    # is exempt from AQE coalescing.
+    # is exempt from AQE coalescing.  The count scales with the CORPUS, not
+    # just the config: a flat shuffle_partitions stamped 32 one-row-group
+    # files onto a 5k-doc corpus, and every downstream reader of the stored
+    # postings (hcqr_postings_build doubled its create wall at sf0.1) paid
+    # per-file overhead for parallelism the data cannot use.  ~2k docs per
+    # task keeps small corpora at a handful of right-sized files while any
+    # corpus big enough to matter hits the shuffle_partitions cap.
     n_shuffle = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if n_docs_hint is not None:
+        n_shuffle = max(1, min(n_shuffle, -(-n_docs_hint // 2000)))
     pairs = pairs.repartition(n_shuffle, "cell_id", "_salt")
     out_schema = ("token string, cell_id long, doc_ids array<long>, "
                   "n_docs long, is_fm boolean, partial boolean")
