@@ -129,7 +129,13 @@ def worker(cores: int, n_docs: int) -> None:
         # idle capacity exists).  The cache spills to tmpfs if it outgrows
         # the 8g executor heap — same storage the shuffle uses.
         t0 = time.perf_counter()
+        phases = {}
         full = doc_index_full(docs, "s2", 10).cache()
+
+        def _timed(name, fn):
+            s = time.perf_counter()
+            fn()
+            phases[name] = round(time.perf_counter() - s, 2)
 
         def w_base():
             full.write.mode("overwrite").parquet(base_path)
@@ -145,13 +151,16 @@ def worker(cores: int, n_docs: int) -> None:
         # sorted_list_agg affects only w_ct's collect_list (the other two
         # have no list agg), so scoping it around all threads is safe
         with sorted_list_agg(spark), ThreadPoolExecutor(3) as ex:
-            futs = [ex.submit(f) for f in (w_base, w_mc, w_ct)]
+            futs = [ex.submit(_timed, nm, f)
+                    for nm, f in (("base", w_base), ("mc", w_mc), ("ct", w_ct))]
             for f in futs:
                 f.result()
+        s = time.perf_counter()
         full.unpersist(blocking=True)
         # row counts are metadata-only reads (parquet aggregate pushdown)
         n_mentions = spark.read.parquet(mc_path).count()
-        return time.perf_counter() - t0, n_mentions
+        phases["unpersist_count"] = round(time.perf_counter() - s, 2)
+        return time.perf_counter() - t0, n_mentions, phases
 
     def one_text_build():
         # text-index create (token postings): the r05 Arrow-grouped build
@@ -173,12 +182,21 @@ def worker(cores: int, n_docs: int) -> None:
         t = time.perf_counter() - t0
         return t, spark.read.parquet(tp_path).count()
 
-    _tw, n_mentions = one_spatial_build()  # warmup
+    _tw, n_mentions, _ = one_spatial_build()  # warmup
     builds = []
+    best_phases = {}
     for _ in range(2):
-        t_b, n_mentions = one_spatial_build()
+        t_b, n_mentions, phases = one_spatial_build()
         builds.append(t_b)
+        if t_b == min(builds):
+            best_phases = phases
     t_build = min(builds)
+    if os.environ.get("SCALING_BUILD_ONLY"):  # diagnosis: spatial pass only
+        print(json.dumps({"cores": cores, "n_docs": n,
+                          "build_sec": round(t_build, 2), "builds": builds,
+                          "build_phases": best_phases}))
+        spark.stop()
+        return
     # the text build reads the STORED base only - the docs cache would just
     # pin storage memory against its sort (measured part of the in-harness
     # slowdown vs the same job in a clean JVM)
@@ -214,6 +232,7 @@ def worker(cores: int, n_docs: int) -> None:
     print(json.dumps({
         "cores": cores, "n_docs": n, "n_mentions": n_mentions,
         "n_postings": n_postings, "build_sec": round(t_build, 2),
+        "build_phases": best_phases,
         "text_sec": round(t_text, 2),
         "query_sec": round(t_query, 2), "region_docs": matched,
         "build_docs_per_sec": round(n / t_build, 1),
