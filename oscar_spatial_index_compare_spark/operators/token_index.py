@@ -118,29 +118,38 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
                ``n_total`` and the per-cell salt factor.  The exchange
                carries ONE row per (doc, cell) with the doc's token array —
                ~|toks|× fewer rows and ~8× fewer bytes than the triple
-               stream (measured 24 GB → 0.6 GB at 1M docs).
+               stream (measured 24 GB → 0.6 GB at 1M docs).  Hot cells are
+               salted by TOKEN SLICE: the doc's token array splits into
+               ``_nsalt`` hash slices (JVM-side higher-order filter, empty
+               slices dropped), so EVERY (cell, salt) group holds the
+               complete doc set of its token slice.
       stage 1  ``applyInArrow`` over (cell_id, salt): the (token → sorted
                doc list) fan-out runs INSIDE each group on native Arrow
                buffers — zero-copy ``list_flatten``, C++
                ``dictionary_encode`` for the token ids, and ONE int
                ``np.lexsort`` that groups tokens and sorts every token's
                doc run in the same pass; no object-dtype strings, no
-               per-row Python.  Groups whose cell fits one salt bucket
-               classify fm locally (len == n_total) and emit doc_ids NULL —
-               the reference's fm-bit compression
+               per-row Python.  Every group is complete for its tokens, so
+               fm classifies LOCALLY (len == n_total) and fm rows emit
+               doc_ids NULL — the reference's fm-bit compression
                (``src/OscarSearchSgIndex.cpp:178-197``) applied before the
-               lists ever cross Arrow.
-      stage 2  only SALTED (hot-cell) groups emit partial lists; one
-               output-sized groupBy merges them and classifies fm against
-               the broadcast totals.  Cold cells skip this entirely.
+               lists ever cross Arrow.  There is no merge pass: the earlier
+               doc-hash salting needed a second groupBy + union whose two
+               branches made Catalyst execute the Arrow kernel TWICE per
+               salted build (exchange reuse does not extend to
+               FlatMapGroupsInArrow subtrees — caught in the r05 plan
+               audit); token-slice groups need neither.
 
     Exactness: toks/cells are array_distinct per doc, so each (token, doc,
-    cell) pair occurs once and per-group counts are exact; salting splits
-    groups by doc hash, and the merge pass restores exact lists/counts
-    (row-identical to the r04 build — verified A≡C on the 250k-doc corpus
-    and by the oracle suite).  ``n_docs_hint`` ≤ target_docs proves no cell
-    can need salting (a cell never exceeds the corpus doc count) and pins
-    the salt factor to 1, dropping the merge branch from the plan.
+    cell) pair occurs once, lands in exactly one deterministic token slice,
+    and per-group counts/lists are exact and complete (row-identical to the
+    doc-salted and r04 builds — pytest A≡B on the forced-salt corpus and
+    the oracle suite).  Group memory is bounded: a slice carries
+    ~``target_docs``·|toks| token refs, and dropping empty slices bounds
+    group ROWS by the slice's token refs too (a doc with no tokens in the
+    slice never ships).  ``n_docs_hint`` ≤ target_docs proves no cell can
+    need salting (a cell never exceeds the corpus doc count) and pins the
+    salt factor to 1, skipping the slice fan-out entirely.
 
     Measured (250k docs, local[8], same sortWithinPartitions+write action):
     r04 slim-key two-pass 94-103 s → this build 35 s; the hot shuffle/sort
@@ -157,9 +166,29 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
     )
     pairs = base.select(
         "doc_id", "toks", F.explode("cells").alias("cell_id")
-    ).join(F.broadcast(ctb), "cell_id").withColumn(
-        "_salt", F.pmod(F.xxhash64("doc_id"), F.col("_nsalt")).cast("int")
-    )
+    ).join(F.broadcast(ctb), "cell_id")
+    if no_salt:
+        pairs = pairs.withColumn("_salt", F.lit(0))
+    else:
+        # token-slice salting: cold cells (_nsalt == 1) skip the per-token
+        # hash filter; hot cells fan out to _nsalt rows, each carrying the
+        # tokens whose hash lands in that slice (deterministic — a token's
+        # full posting for the cell lives in exactly one slice)
+        slices = F.when(
+            F.col("_nsalt") == 1, F.array(F.col("toks"))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_nsalt") - 1),
+                lambda s: F.filter(
+                    F.col("toks"),
+                    lambda t: F.pmod(F.xxhash64(t), F.col("_nsalt")) == s,
+                ),
+            )
+        )
+        pairs = pairs.select(
+            "doc_id", "cell_id", "n_total", "_nsalt",
+            F.posexplode(slices).alias("_salt", "toks"),
+        ).where(F.size("toks") > 0)
     # EXPLICIT partition count for the group exchange: AQE sizes post-shuffle
     # stages by shuffle BYTES, but this stage's cost is the ~|toks|× token
     # fan-out of those bytes — left to AQE it coalesced a 32-core stage down
@@ -178,7 +207,7 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
         n_shuffle = max(1, min(n_shuffle, -(-n_docs_hint // 2000)))
     pairs = pairs.repartition(n_shuffle, "cell_id", "_salt")
     out_schema = ("token string, cell_id long, doc_ids array<long>, "
-                  "n_docs long, is_fm boolean, partial boolean")
+                  "n_docs long, is_fm boolean")
 
     def build(table):
         # applyInArrow kernel: everything stays in Arrow/numpy native
@@ -199,13 +228,11 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
             "doc_ids": pa.array([], pa.list_(pa.int64())),
             "n_docs": pa.array([], pa.int64()),
             "is_fm": pa.array([], pa.bool_()),
-            "partial": pa.array([], pa.bool_()),
         })
         if total == 0:
             return empty
         cell = table.column("cell_id")[0].as_py()
         n_total = table.column("n_total")[0].as_py()
-        complete = table.column("_nsalt")[0].as_py() == 1
         flat = pc.list_flatten(toks)
         dic = pc.dictionary_encode(flat)
         if isinstance(dic, pa.ChunkedArray):  # multi-chunk input path
@@ -222,9 +249,8 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
         starts = np.concatenate([[0], cut])
         ends = np.concatenate([cut, [len(cs)]])
         ns = ends - starts
-        fm = np.zeros(len(ns), dtype=bool)
-        if complete:
-            fm = ns == n_total
+        # every group is complete for its token slice → fm is local & exact
+        fm = ns == n_total
         # list offsets: fm rows contribute empty (null-masked) runs
         keep_lens = np.where(fm, 0, ns)
         offsets = np.concatenate([[0], np.cumsum(keep_lens)])
@@ -240,28 +266,14 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
             "doc_ids": doc_ids,
             "n_docs": pa.array(ns, pa.int64()),
             "is_fm": pa.array(fm),
-            "partial": pa.array(np.full(k, not complete)),
         })
 
     grouped = pairs.groupBy("cell_id", "_salt").applyInArrow(build, out_schema)
     head = [F.lit("exact").alias("qt"), F.lit(grid).alias("grid"),
             F.lit(res).alias("res")]
-    done = grouped.where(~F.col("partial")).select(
+    return grouped.select(
         "token", *head, "cell_id", "is_fm", "doc_ids",
         F.col("n_docs").cast("long").alias("n_docs"))
-    if no_salt:
-        return done
-    merged = grouped.where(F.col("partial")).groupBy("token", "cell_id").agg(
-        F.array_sort(F.flatten(F.collect_list("doc_ids"))).alias("m_docs"),
-        F.sum("n_docs").alias("n"),
-    ).join(F.broadcast(ctb.select("cell_id", "n_total")), "cell_id").select(
-        "token", *head, "cell_id",
-        (F.col("n") == F.col("n_total")).alias("is_fm"),
-        F.when(F.col("n") == F.col("n_total"), F.lit(None))
-        .otherwise(F.col("m_docs")).alias("doc_ids"),
-        F.col("n").cast("long").alias("n_docs"),
-    )
-    return done.unionByName(merged)
 
 
 def match_tokens(all_tokens: list[str], pattern: str, qt: str) -> list[str]:
