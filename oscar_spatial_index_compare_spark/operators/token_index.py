@@ -104,7 +104,8 @@ TARGET_GROUP_DOCS = 50_000
 def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
                              grid: str, res: int,
                              n_docs_hint: int | None = None,
-                             target_docs: int = TARGET_GROUP_DOCS) -> DataFrame:
+                             target_docs: int = TARGET_GROUP_DOCS,
+                             impl: str | None = None) -> DataFrame:
     """Arrow-grouped posting build over doc_index_base (doc_id, toks, cells)
     — the r05 scaling-gate rewrite (r04 VERDICT item 1).
 
@@ -206,6 +207,40 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
     if n_docs_hint is not None:
         n_shuffle = max(1, min(n_shuffle, -(-n_docs_hint // 2000)))
     pairs = pairs.repartition(n_shuffle, "cell_id", "_salt")
+    head = [F.lit("exact").alias("qt"), F.lit(grid).alias("grid"),
+            F.lit(res).alias("res")]
+    if impl is None:
+        import os
+        impl = os.environ.get("SPARK_GRAFT_TOKEN_IMPL", "arrow")
+    if impl == "jvm":
+        # JVM tail: explode the token array AFTER the (cell_id, _salt)
+        # exchange and aggregate by (cell_id, _salt, token) in Tungsten.
+        # Hash partitioning on a SUBSET of the grouping keys satisfies the
+        # aggregate's ClusteredDistribution, so Catalyst adds NO second
+        # exchange — the |toks|× fan-out exists only inside the post-
+        # shuffle stage, never on the wire (same shuffle bytes as the
+        # Arrow tail), and the whole fan-out → sort-aggregate → parquet
+        # chain is one JVM stage with no Python worker round-trip.
+        # n_total joins the grouping keys (constant per cell — it cannot
+        # split a group) so fm classification stays local and exact.
+        # NOT the default: measured 1M docs / 8-core executor, this tail
+        # runs 3.3x SLOWER than the Arrow kernel (250 s vs 77 s) — the
+        # SortAggregate's binary-row sort over ~10^9 exploded string-keyed
+        # triples is what the kernel's dictionary_encode + int lexsort
+        # avoids.  Kept (tested row-identical) for clusters that cannot
+        # run Python workers on executors.
+        triples = pairs.select(
+            "doc_id", "cell_id", "_salt", "n_total",
+            F.explode("toks").alias("token"))
+        agged = triples.groupBy("cell_id", "_salt", "n_total", "token").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.collect_list("doc_id").alias("_docs"))
+        is_fm = F.col("n_docs") == F.col("n_total")
+        return agged.select(
+            "token", *head, "cell_id", is_fm.alias("is_fm"),
+            F.when(is_fm, F.lit(None)).otherwise(
+                F.array_sort("_docs")).alias("doc_ids"),
+            F.col("n_docs").cast("long").alias("n_docs"))
     out_schema = ("token string, cell_id long, doc_ids array<long>, "
                   "n_docs long, is_fm boolean")
 
@@ -269,8 +304,6 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
         })
 
     grouped = pairs.groupBy("cell_id", "_salt").applyInArrow(build, out_schema)
-    head = [F.lit("exact").alias("qt"), F.lit(grid).alias("grid"),
-            F.lit(res).alias("res")]
     return grouped.select(
         "token", *head, "cell_id", "is_fm", "doc_ids",
         F.col("n_docs").cast("long").alias("n_docs"))

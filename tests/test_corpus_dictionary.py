@@ -105,3 +105,23 @@ def test_no_salt_hint_exact(spark):
     hinted = token_postings_from_base(base, ct, "zxy", 9, n_docs_hint=12)
     default = _tp_rows(token_postings_from_base(base, ct, "zxy", 9))
     assert _tp_rows(hinted) == default
+
+
+def test_jvm_and_arrow_impls_identical(spark, engine):
+    """The two build tails — applyInArrow kernel vs post-exchange JVM
+    explode + SortAggregate — must be row-identical on both the unsalted
+    and the forced-salt (target_docs=1) paths.  The scaling harness picks
+    whichever measures faster; correctness must never depend on the pick."""
+    from oscar_spatial_index_compare_spark.operators.index_build import (
+        cell_totals_from_base, doc_index_base,
+    )
+
+    base = doc_index_base(engine.docs, "zxy", 9)
+    ct = cell_totals_from_base(base, "zxy", 9)
+    for target in (10**9, 1):
+        arrow = _tp_rows(token_postings_from_base(
+            base, ct, "zxy", 9, target_docs=target, impl="arrow"))
+        jvm = _tp_rows(token_postings_from_base(
+            base, ct, "zxy", 9, target_docs=target, impl="jvm"))
+        assert arrow == jvm
+        assert any(r[2] for r in arrow)  # fm rows present — not vacuous
