@@ -100,90 +100,42 @@ def token_postings(tdocs: DataFrame, dcells: DataFrame, ctotals: DataFrame) -> D
 # tail (a 10M-doc metro cell fans out to 200 salted groups, not one task)
 TARGET_GROUP_DOCS = 50_000
 
+# colliding-token routing is a driver-side literal, so its size is capped:
+# the expected count is ~|vocab|²/2⁶⁵ (birthday bound on xxhash64 — ~3·10⁻⁴
+# colliding PAIRS at a 100M-token vocabulary), so hitting this cap means a
+# broken hash, not a big corpus
+MAX_COLLIDING_TOKENS = 10_000
 
-def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
-                             grid: str, res: int,
-                             n_docs_hint: int | None = None,
-                             target_docs: int = TARGET_GROUP_DOCS,
-                             impl: str | None = None) -> DataFrame:
-    """Arrow-grouped posting build over doc_index_base (doc_id, toks, cells)
-    — the r05 scaling-gate rewrite (r04 VERDICT item 1).
 
-    The r04 shape exploded every (token, doc, cell) triple BEFORE the
-    exchange and shuffle-sorted ~40 triples per (doc, cell) — the shuffle
-    and sort of ~10⁹ slim rows was the named non-scaling pass (0.34-0.40
-    raw).  This build keeps the token fan-out OUT of the shuffle entirely:
+def _salted_pairs(b: DataFrame, ctb: DataFrame, no_salt: bool,
+                  n_shuffle: int, hashed: bool) -> DataFrame:
+    """(doc_id, cell_id, n_total, _salt, toks) exchange stream: explode
+    ``cells`` only (ONE row per (doc, cell) carrying the token array),
+    broadcast-join cell totals, slice-salt hot cells, and repartition on
+    the exact grouping keys.
 
-      stage 0  one narrow pass: explode ``cells`` only → (doc_id, toks,
-               cell_id) + a broadcast join against cell_totals for
-               ``n_total`` and the per-cell salt factor.  The exchange
-               carries ONE row per (doc, cell) with the doc's token array —
-               ~|toks|× fewer rows and ~8× fewer bytes than the triple
-               stream (measured 24 GB → 0.6 GB at 1M docs).  Hot cells are
-               salted by TOKEN SLICE: the doc's token array splits into
-               ``_nsalt`` hash slices (JVM-side higher-order filter, empty
-               slices dropped), so EVERY (cell, salt) group holds the
-               complete doc set of its token slice.
-      stage 1  ``applyInArrow`` over (cell_id, salt): the (token → sorted
-               doc list) fan-out runs INSIDE each group on native Arrow
-               buffers — zero-copy ``list_flatten``, C++
-               ``dictionary_encode`` for the token ids, and ONE int
-               ``np.lexsort`` that groups tokens and sorts every token's
-               doc run in the same pass; no object-dtype strings, no
-               per-row Python.  Every group is complete for its tokens, so
-               fm classifies LOCALLY (len == n_total) and fm rows emit
-               doc_ids NULL — the reference's fm-bit compression
-               (``src/OscarSearchSgIndex.cpp:178-197``) applied before the
-               lists ever cross Arrow.  There is no merge pass: the earlier
-               doc-hash salting needed a second groupBy + union whose two
-               branches made Catalyst execute the Arrow kernel TWICE per
-               salted build (exchange reuse does not extend to
-               FlatMapGroupsInArrow subtrees — caught in the r05 plan
-               audit); token-slice groups need neither.
-
-    Exactness: toks/cells are array_distinct per doc, so each (token, doc,
-    cell) pair occurs once, lands in exactly one deterministic token slice,
-    and per-group counts/lists are exact and complete (row-identical to the
-    doc-salted and r04 builds — pytest A≡B on the forced-salt corpus and
-    the oracle suite).  Group memory is bounded: a slice carries
-    ~``target_docs``·|toks| token refs, and dropping empty slices bounds
-    group ROWS by the slice's token refs too (a doc with no tokens in the
-    slice never ships).  ``n_docs_hint`` ≤ target_docs proves no cell can
-    need salting (a cell never exceeds the corpus doc count) and pins the
-    salt factor to 1, skipping the slice fan-out entirely.
-
-    Measured (250k docs, local[8], same sortWithinPartitions+write action):
-    r04 slim-key two-pass 94-103 s → this build 35 s; the hot shuffle/sort
-    volume falls |toks|-fold, which is also what the N→4N gate needs — the
-    4N level pays netty transfer for shuffle bytes that the 1-executor
-    level reads locally.
+    Token-slice salting: cold cells (_nsalt == 1) skip the per-token
+    filter; hot cells fan out to _nsalt rows, each carrying the tokens
+    whose hash lands in that slice — deterministic, so a token's full
+    posting for the cell lives in exactly one slice and EVERY (cell, salt)
+    group holds the complete doc set of its token slice.  With ``hashed``
+    toks (array<long>) the slice key is the value itself (pmod on a long);
+    string toks pay one xxhash64 per token per slice.
     """
-    no_salt = n_docs_hint is not None and n_docs_hint <= target_docs
-    salt_expr = (F.lit(1) if no_salt else
-                 F.greatest(F.lit(1), F.ceil(F.col("n_docs") / F.lit(target_docs))))
-    ctb = ctotals.select(
-        "cell_id", F.col("n_docs").alias("n_total"),
-        salt_expr.cast("int").alias("_nsalt"),
-    )
-    pairs = base.select(
+    pairs = b.select(
         "doc_id", "toks", F.explode("cells").alias("cell_id")
     ).join(F.broadcast(ctb), "cell_id")
     if no_salt:
         pairs = pairs.withColumn("_salt", F.lit(0))
     else:
-        # token-slice salting: cold cells (_nsalt == 1) skip the per-token
-        # hash filter; hot cells fan out to _nsalt rows, each carrying the
-        # tokens whose hash lands in that slice (deterministic — a token's
-        # full posting for the cell lives in exactly one slice)
+        slice_of = ((lambda t: F.pmod(t, F.col("_nsalt"))) if hashed else
+                    (lambda t: F.pmod(F.xxhash64(t), F.col("_nsalt"))))
         slices = F.when(
             F.col("_nsalt") == 1, F.array(F.col("toks"))
         ).otherwise(
             F.transform(
                 F.sequence(F.lit(0), F.col("_nsalt") - 1),
-                lambda s: F.filter(
-                    F.col("toks"),
-                    lambda t: F.pmod(F.xxhash64(t), F.col("_nsalt")) == s,
-                ),
+                lambda s: F.filter(F.col("toks"), lambda t: slice_of(t) == s),
             )
         )
         pairs = pairs.select(
@@ -196,22 +148,106 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
     # to ~5 tasks (measured: 67 s at BOTH 8 and 32 cores, zero scaling).  An
     # explicit repartition on the exact grouping keys satisfies
     # FlatMapGroupsInPandas' clustering requirement (no second exchange) and
-    # is exempt from AQE coalescing.  The count scales with the CORPUS, not
-    # just the config: a flat shuffle_partitions stamped 32 one-row-group
-    # files onto a 5k-doc corpus, and every downstream reader of the stored
-    # postings (hcqr_postings_build doubled its create wall at sf0.1) paid
-    # per-file overhead for parallelism the data cannot use.  ~2k docs per
-    # task keeps small corpora at a handful of right-sized files while any
-    # corpus big enough to matter hits the shuffle_partitions cap.
+    # is exempt from AQE coalescing.
+    return pairs.repartition(n_shuffle, "cell_id", "_salt")
+
+
+def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
+                             grid: str, res: int,
+                             n_docs_hint: int | None = None,
+                             target_docs: int = TARGET_GROUP_DOCS,
+                             impl: str | None = None,
+                             _collide_tokens: list[str] | None = None) -> DataFrame:
+    """Arrow-grouped posting build over doc_index_base (doc_id, toks, cells)
+    — the r05 scaling-gate rewrite (r04 VERDICT item 1).
+
+    The r04 shape exploded every (token, doc, cell) triple BEFORE the
+    exchange and shuffle-sorted ~40 triples per (doc, cell) — the shuffle
+    and sort of ~10⁹ slim rows was the named non-scaling pass (0.34-0.40
+    raw).  This build keeps the token fan-out OUT of the shuffle entirely:
+
+      plan time  one narrow vocab pass (explode toks → distinct → th =
+               xxhash64(token)) serves two jobs: the (th → token)
+               restoration dimension, and an exact COLLISION AUDIT — any
+               th mapping to >1 token is collected driver-side (bounded by
+               ``MAX_COLLIDING_TOKENS``; expected count ~0, see constant)
+               and those tokens are routed to the string-keyed kernel
+               instead, so a 64-bit collision can never merge two tokens'
+               postings.  Same driver-literal pattern as region_query's
+               pruned coverings; the audit action runs once per build.
+      stage 0  one narrow pass: ``toks`` → xxhash64 per token (ONCE per
+               doc, JVM-side), explode ``cells`` only → (doc_id, toks,
+               cell_id) + a broadcast join against cell_totals for
+               ``n_total`` and the per-cell salt factor.  The exchange
+               carries ONE row per (doc, cell) with the doc's token-HASH
+               array — ~|toks|× fewer rows than the triple stream, and
+               fixed-width longs instead of strings (measured 1M docs:
+               5.6 GB → ~3 GB shuffle; the salt-slice filter becomes a
+               pmod on the value instead of per-slice string hashing).
+               Hot cells are salted by TOKEN SLICE: the doc's token array
+               splits into ``_nsalt`` hash slices (JVM-side higher-order
+               filter, empty slices dropped), so EVERY (cell, salt) group
+               holds the complete doc set of its token slice.
+      stage 1  ``applyInArrow`` over (cell_id, salt): the (token → sorted
+               doc list) fan-out runs INSIDE each group on native Arrow
+               buffers — zero-copy ``list_flatten`` and ONE int
+               ``np.lexsort`` that groups token hashes and sorts every
+               token's doc run in the same pass; no strings ever reach
+               Python (the r05.0 string kernel spent 1.7× this kernel's
+               wall in ``dictionary_encode`` alone, and its Arrow IPC was
+               ~2× the bytes).  Every group is complete for its tokens, so
+               fm classifies LOCALLY (len == n_total) and fm rows emit
+               doc_ids NULL — the reference's fm-bit compression
+               (``src/OscarSearchSgIndex.cpp:178-197``) applied before the
+               lists ever cross Arrow.
+      tail     join th → token against the vocab dimension (AQE picks
+               broadcast while the vocab fits; plain shuffle join beyond)
+               and union the string-kernel rows of any colliding tokens.
+
+    Exactness: toks/cells are array_distinct per doc, so each (token, doc,
+    cell) pair occurs once, lands in exactly one deterministic token slice,
+    and per-group counts/lists are exact and complete (row-identical to the
+    string-kernel and JVM builds — pytest A≡B on the forced-salt corpus,
+    forced-collision routing test, and the oracle suite).  Group memory is
+    bounded: a slice carries ~``target_docs``·|toks| token refs, and
+    dropping empty slices bounds group ROWS by the slice's token refs too.
+    ``n_docs_hint`` ≤ target_docs proves no cell can need salting (a cell
+    never exceeds the corpus doc count) and pins the salt factor to 1,
+    skipping the slice fan-out entirely.
+
+    Measured (250k docs, local[8], same sortWithinPartitions+write action):
+    r04 slim-key two-pass 94-103 s → string-kernel build 35 s; the hot
+    shuffle/sort volume falls |toks|-fold, which is also what the N→4N
+    gate needs — the 4N level pays netty transfer for shuffle bytes that
+    the 1-executor level reads locally.
+
+    ``impl``: 'arrow' (default — hash-keyed Arrow kernel), 'arrow-str'
+    (string-keyed Arrow kernel: no vocab pass / no plan-time action; also
+    the collision-routing path), 'jvm' (no Python workers at all).
+    """
+    no_salt = n_docs_hint is not None and n_docs_hint <= target_docs
+    salt_expr = (F.lit(1) if no_salt else
+                 F.greatest(F.lit(1), F.ceil(F.col("n_docs") / F.lit(target_docs))))
+    ctb = ctotals.select(
+        "cell_id", F.col("n_docs").alias("n_total"),
+        salt_expr.cast("int").alias("_nsalt"),
+    )
+    # see _salted_pairs: ~2k docs per task keeps small corpora at a handful
+    # of right-sized files (downstream readers of the stored postings paid
+    # per-file overhead for parallelism the data cannot use) while any
+    # corpus big enough to matter hits the shuffle_partitions cap
     n_shuffle = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if n_docs_hint is not None:
         n_shuffle = max(1, min(n_shuffle, -(-n_docs_hint // 2000)))
-    pairs = pairs.repartition(n_shuffle, "cell_id", "_salt")
     head = [F.lit("exact").alias("qt"), F.lit(grid).alias("grid"),
             F.lit(res).alias("res")]
     if impl is None:
         import os
         impl = os.environ.get("SPARK_GRAFT_TOKEN_IMPL", "arrow")
+    if impl == "arrow":
+        return _tp_hashed(base, ctb, grid, res, no_salt, n_shuffle, head,
+                          _collide_tokens)
+    pairs = _salted_pairs(base, ctb, no_salt, n_shuffle, hashed=False)
     if impl == "jvm":
         # JVM tail: explode the token array AFTER the (cell_id, _salt)
         # exchange and aggregate by (cell_id, _salt, token) in Tungsten.
@@ -241,59 +277,73 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
             F.when(is_fm, F.lit(None)).otherwise(
                 F.array_sort("_docs")).alias("doc_ids"),
             F.col("n_docs").cast("long").alias("n_docs"))
+    if impl != "arrow-str":
+        raise ValueError(f"unknown token-build impl {impl!r}")
+    return _tp_string_tail(pairs, head)
+
+
+def _kernel_tail(codes, drep, n_total):
+    """Shared numpy tail of both Arrow kernels: ONE int lexsort groups
+    token keys AND sorts every token's doc run in the same pass, then
+    run-length cuts → (per-token key index ``starts``, run lengths ``ns``,
+    fm mask, null-masked doc_ids ListArray pieces)."""
+    import numpy as np
+    import pyarrow as pa
+
+    order = np.lexsort((drep, codes))  # token-grouped, docs sorted within
+    cs, ds = codes[order], drep[order]
+    cut = np.flatnonzero(np.diff(cs)) + 1
+    starts = np.concatenate([[0], cut])
+    ends = np.concatenate([cut, [len(cs)]])
+    ns = ends - starts
+    # every group is complete for its token slice → fm is local & exact
+    fm = ns == n_total
+    # list offsets: fm rows contribute empty (null-masked) runs
+    keep_lens = np.where(fm, 0, ns)
+    offsets = np.concatenate([[0], np.cumsum(keep_lens)])
+    values = ds[np.repeat(~fm, ns)] if fm.any() else ds
+    doc_ids = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(values, pa.int64()),
+        mask=pa.array(fm),
+    )
+    return cs, starts, ns, fm, doc_ids
+
+
+def _tp_string_tail(pairs: DataFrame, head: list) -> DataFrame:
+    """String-keyed Arrow kernel tail: dictionary_encode (the C++ hash
+    table) assigns int codes, then the shared lexsort tail.  No vocab pass
+    and no plan-time action — this is also the collision-routing path of
+    the hashed build (a colliding token's group is string-keyed, so the
+    two tokens never merge)."""
     out_schema = ("token string, cell_id long, doc_ids array<long>, "
                   "n_docs long, is_fm boolean")
 
     def build(table):
-        # applyInArrow kernel: everything stays in Arrow/numpy native
-        # buffers — list_flatten is zero-copy, dictionary_encode is the
-        # C++ hash table, and ONE int lexsort groups tokens AND sorts each
-        # token's doc run in the same pass (a first pandas version of this
-        # kernel paid ~2x the whole build in object-dtype string handling)
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
 
         toks = table.column("toks").combine_chunks()
         lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        total = int(lens.sum())
-        empty = pa.table({
-            "token": pa.array([], pa.string()),
-            "cell_id": pa.array([], pa.int64()),
-            "doc_ids": pa.array([], pa.list_(pa.int64())),
-            "n_docs": pa.array([], pa.int64()),
-            "is_fm": pa.array([], pa.bool_()),
-        })
-        if total == 0:
-            return empty
+        if int(lens.sum()) == 0:
+            return pa.table({
+                "token": pa.array([], pa.string()),
+                "cell_id": pa.array([], pa.int64()),
+                "doc_ids": pa.array([], pa.list_(pa.int64())),
+                "n_docs": pa.array([], pa.int64()),
+                "is_fm": pa.array([], pa.bool_()),
+            })
         cell = table.column("cell_id")[0].as_py()
         n_total = table.column("n_total")[0].as_py()
-        flat = pc.list_flatten(toks)
-        dic = pc.dictionary_encode(flat)
+        dic = pc.dictionary_encode(pc.list_flatten(toks))
         if isinstance(dic, pa.ChunkedArray):  # multi-chunk input path
             dic = dic.combine_chunks()
             if isinstance(dic, pa.ChunkedArray):
                 dic = dic.chunk(0)
         codes = dic.indices.to_numpy()
         uniq = dic.dictionary
-        docs = table.column("doc_id").to_numpy()
-        drep = np.repeat(docs, lens)
-        order = np.lexsort((drep, codes))  # token-grouped, docs sorted within
-        cs, ds = codes[order], drep[order]
-        cut = np.flatnonzero(np.diff(cs)) + 1
-        starts = np.concatenate([[0], cut])
-        ends = np.concatenate([cut, [len(cs)]])
-        ns = ends - starts
-        # every group is complete for its token slice → fm is local & exact
-        fm = ns == n_total
-        # list offsets: fm rows contribute empty (null-masked) runs
-        keep_lens = np.where(fm, 0, ns)
-        offsets = np.concatenate([[0], np.cumsum(keep_lens)])
-        values = ds[np.repeat(~fm, ns)] if fm.any() else ds
-        doc_ids = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), pa.array(values, pa.int64()),
-            mask=pa.array(fm),
-        )
+        drep = np.repeat(table.column("doc_id").to_numpy(), lens)
+        cs, starts, ns, fm, doc_ids = _kernel_tail(codes, drep, n_total)
         k = len(ns)
         return pa.table({
             "token": uniq.take(pa.array(cs[starts], pa.int32())),
@@ -307,6 +357,79 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
     return grouped.select(
         "token", *head, "cell_id", "is_fm", "doc_ids",
         F.col("n_docs").cast("long").alias("n_docs"))
+
+
+def _tp_hashed(base: DataFrame, ctb: DataFrame, grid: str, res: int,
+               no_salt: bool, n_shuffle: int, head: list,
+               _collide_tokens: list[str] | None) -> DataFrame:
+    """Hash-keyed main path of token_postings_from_base (see its docstring):
+    vocab pass + collision audit, int64 exchange, no-strings kernel,
+    (th → token) restoration join, string-kernel union for colliding
+    tokens.  ``_collide_tokens`` injects a fake colliding set so tests can
+    exercise the routing (real 64-bit collisions are unconstructible)."""
+    vh = (base.select(F.explode("toks").alias("token")).distinct()
+          .select("token", F.xxhash64("token").alias("th")))
+    if _collide_tokens is None:
+        coll_rows = (vh.groupBy("th").agg(F.collect_list("token").alias("ts"))
+                     .where(F.size("ts") > 1).select("ts")
+                     .limit(MAX_COLLIDING_TOKENS + 1).collect())
+        coll = sorted({t for r in coll_rows for t in r.ts})
+    else:
+        coll = sorted(set(_collide_tokens))
+    if len(coll) > MAX_COLLIDING_TOKENS:
+        raise RuntimeError(
+            f"token build: {len(coll)} xxhash64-colliding tokens exceeds "
+            f"MAX_COLLIDING_TOKENS={MAX_COLLIDING_TOKENS} — a 64-bit key "
+            "cannot collide at this rate on real vocabularies")
+    b = base
+    if coll:
+        coll_lit = F.array(*[F.lit(t) for t in coll])
+        b = base.withColumn("toks", F.array_except("toks", coll_lit))
+    hb = b.withColumn("toks", F.transform("toks", lambda t: F.xxhash64(t)))
+    pairs = _salted_pairs(hb, ctb, no_salt, n_shuffle, hashed=True)
+    out_schema = ("th long, cell_id long, doc_ids array<long>, "
+                  "n_docs long, is_fm boolean")
+
+    def build(table):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        toks = table.column("toks").combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        if int(lens.sum()) == 0:
+            return pa.table({
+                "th": pa.array([], pa.int64()),
+                "cell_id": pa.array([], pa.int64()),
+                "doc_ids": pa.array([], pa.list_(pa.int64())),
+                "n_docs": pa.array([], pa.int64()),
+                "is_fm": pa.array([], pa.bool_()),
+            })
+        cell = table.column("cell_id")[0].as_py()
+        n_total = table.column("n_total")[0].as_py()
+        codes = pc.list_flatten(toks).to_numpy()  # int64 hashes, zero-copy
+        drep = np.repeat(table.column("doc_id").to_numpy(), lens)
+        cs, starts, ns, fm, doc_ids = _kernel_tail(codes, drep, n_total)
+        k = len(ns)
+        return pa.table({
+            "th": pa.array(cs[starts], pa.int64()),
+            "cell_id": pa.array(np.full(k, cell, np.int64)),
+            "doc_ids": doc_ids,
+            "n_docs": pa.array(ns, pa.int64()),
+            "is_fm": pa.array(fm),
+        })
+
+    grouped = pairs.groupBy("cell_id", "_salt").applyInArrow(build, out_schema)
+    out = grouped.join(vh, "th").select(
+        "token", *head, "cell_id", "is_fm", "doc_ids",
+        F.col("n_docs").cast("long").alias("n_docs"))
+    if coll:
+        cb = base.withColumn(
+            "toks", F.array_intersect("toks", coll_lit)
+        ).where(F.size("toks") > 0)
+        pairs_c = _salted_pairs(cb, ctb, no_salt, n_shuffle, hashed=False)
+        out = out.unionByName(_tp_string_tail(pairs_c, head))
+    return out
 
 
 def match_tokens(all_tokens: list[str], pattern: str, qt: str) -> list[str]:

@@ -108,10 +108,11 @@ def test_no_salt_hint_exact(spark):
 
 
 def test_jvm_and_arrow_impls_identical(spark, engine):
-    """The two build tails — applyInArrow kernel vs post-exchange JVM
-    explode + SortAggregate — must be row-identical on both the unsalted
-    and the forced-salt (target_docs=1) paths.  The scaling harness picks
-    whichever measures faster; correctness must never depend on the pick."""
+    """The three build tails — hash-keyed Arrow kernel (default),
+    string-keyed Arrow kernel, post-exchange JVM explode + SortAggregate —
+    must be row-identical on both the unsalted and the forced-salt
+    (target_docs=1) paths.  The scaling harness picks whichever measures
+    faster; correctness must never depend on the pick."""
     from oscar_spatial_index_compare_spark.operators.index_build import (
         cell_totals_from_base, doc_index_base,
     )
@@ -121,7 +122,41 @@ def test_jvm_and_arrow_impls_identical(spark, engine):
     for target in (10**9, 1):
         arrow = _tp_rows(token_postings_from_base(
             base, ct, "zxy", 9, target_docs=target, impl="arrow"))
-        jvm = _tp_rows(token_postings_from_base(
-            base, ct, "zxy", 9, target_docs=target, impl="jvm"))
-        assert arrow == jvm
+        for other in ("arrow-str", "jvm"):
+            rows = _tp_rows(token_postings_from_base(
+                base, ct, "zxy", 9, target_docs=target, impl=other))
+            assert rows == arrow, other
         assert any(r[2] for r in arrow)  # fm rows present — not vacuous
+
+
+def test_collision_routing_exact(spark, engine):
+    """Inject a fake xxhash64-colliding token set (real 64-bit collisions
+    are unconstructible): the routed build — those tokens through the
+    string kernel, the rest through the hash kernel, unioned — must be
+    row-identical to the unrouted default, on both salting paths.  Also
+    pins the cap: an absurd colliding set must raise, not silently merge."""
+    import pytest
+
+    from oscar_spatial_index_compare_spark.operators.index_build import (
+        cell_totals_from_base, doc_index_base,
+    )
+    from oscar_spatial_index_compare_spark.operators import token_index as ti
+
+    base = doc_index_base(engine.docs, "zxy", 9)
+    ct = cell_totals_from_base(base, "zxy", 9)
+    # pick two real corpus tokens, one of them gazetteer-hot
+    toks = [r.t for r in base.select(
+        F.explode("toks").alias("t")).distinct().limit(2).collect()]
+    assert len(toks) == 2
+    for target in (10**9, 1):
+        default = _tp_rows(token_postings_from_base(
+            base, ct, "zxy", 9, target_docs=target))
+        routed = _tp_rows(token_postings_from_base(
+            base, ct, "zxy", 9, target_docs=target, _collide_tokens=toks))
+        assert routed == default
+        # the routed tokens genuinely appear in the result (non-vacuous)
+        assert any(r[0] in toks for r in default)
+    with pytest.raises(RuntimeError, match="colliding"):
+        token_postings_from_base(
+            base, ct, "zxy", 9,
+            _collide_tokens=[f"t{i}" for i in range(ti.MAX_COLLIDING_TOKENS + 1)])
