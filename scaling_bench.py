@@ -312,11 +312,7 @@ def hardware_probe(mem_reps: int = 5, cpu_reps: int = 3,
     return out
 
 
-def start_cluster() -> tuple:
-    """Start a localhost standalone master + one 32-core/40g worker daemon
-    (fresh random master port; executors are launched per application, so
-    each worker RUN still gets fresh executor JVMs).  Returns
-    (master_proc, worker_proc, master_url)."""
+def _spark_env() -> tuple:
     import pyspark
 
     spark_dir = os.path.dirname(os.path.abspath(pyspark.__file__))
@@ -327,41 +323,75 @@ def start_cluster() -> tuple:
            "PYSPARK_PYTHON": sys.executable,
            "SPARK_LOCAL_DIRS": "/dev/shm/sparktmp"}
     cp = os.path.join(spark_dir, "jars", "*")
+    return java, cp, env, logs
 
-    def _read(path: str) -> str:
-        with open(path) as fh:
-            return fh.read()
 
+def _read(path: str) -> str:
+    with open(path) as fh:
+        return fh.read()
+
+
+def start_master() -> tuple:
+    """Start a localhost standalone master (fresh random port).  Returns
+    (master_proc, master_url)."""
+    java, cp, env, logs = _spark_env()
     mlog = os.path.join(logs, "master.log")
     with open(mlog, "w") as mfh:
         m = subprocess.Popen(
             [java, "-Xmx1g", "-cp", cp, "org.apache.spark.deploy.master.Master",
              "--host", "127.0.0.1", "--port", "0", "--webui-port", "0"],
             stdout=mfh, stderr=subprocess.STDOUT, env=env)
-    url = None
     for _ in range(60):
         time.sleep(1)
         got = re.search(r"Starting Spark master at (spark://\S+)", _read(mlog))
         if got:
-            url = got.group(1)
-            break
-    if url is None:
-        _stop_daemons(m)
-        raise RuntimeError(f"standalone master did not start, see {mlog}")
-    wlog = os.path.join(logs, "worker.log")
+            return m, got.group(1)
+    _stop_daemons(m)
+    raise RuntimeError(f"standalone master did not start, see {mlog}")
+
+
+def start_worker(url: str, cores: int) -> object:
+    """Start a worker daemon PINNED (sched_setaffinity, inherited by the
+    executor JVMs and their Python workers) to exactly ``cores`` host CPUs.
+
+    This is what makes the N level mean N CORES: executor JVM task threads
+    AND the Arrow/pandas-UDF Python workers they spawn must share the
+    level's core entitlement, exactly as they share a real node's.  Without
+    the pin, the 1-executor level's 8 task threads + 8 Python workers
+    free-ride on the sandbox's 24 idle cores (a 2x-oversubscribed mix the
+    4N level can never match because it already covers the host), which
+    deflates every efficiency ratio — measured: the token-postings pass's
+    Python kernel wall was ~6 s at "8 cores" unpinned vs ~10 s at 32, i.e.
+    the N level was silently a ~16-core machine.  Memory offered scales
+    with cores (cores/8 executors × 8g + headroom) for the same reason."""
+    java, cp, env, logs = _spark_env()
+    wlog = os.path.join(logs, f"worker_{cores}.log")
+    mem_gb = 2 + 8 * (cores // EXEC_CORES)
+
+    def _pin():
+        os.sched_setaffinity(0, set(range(cores)))
+
     with open(wlog, "w") as wfh:
         w = subprocess.Popen(
             [java, "-Xmx1g", "-cp", cp, "org.apache.spark.deploy.worker.Worker",
-             url, "--host", "127.0.0.1", "--cores", str(N4_CORES),
-             "--memory", "40g", "--webui-port", "0",
+             url, "--host", "127.0.0.1", "--cores", str(cores),
+             "--memory", f"{mem_gb}g", "--webui-port", "0",
              "--work-dir", os.path.join(logs, "work")],
-            stdout=wfh, stderr=subprocess.STDOUT, env=env)
+            stdout=wfh, stderr=subprocess.STDOUT, env=env, preexec_fn=_pin)
     for _ in range(60):
         time.sleep(1)
         if "Successfully registered" in _read(wlog):
-            return m, w, url
-    _stop_daemons(m, w)
+            return w
+    _stop_daemons(w)
     raise RuntimeError(f"standalone worker did not register, see {wlog}")
+
+
+def start_cluster() -> tuple:
+    """Master + one UNPINNED 32-core worker for the whole run (the pre-r5.2
+    shape, kept for diag_text.py).  Returns (master, worker, url)."""
+    m, url = start_master()
+    w = start_worker(url, N4_CORES)
+    return m, w, url
 
 
 def _stop_daemons(*procs) -> None:
@@ -446,6 +476,12 @@ is ONE 8-core/8g executor JVM (``spark.cores.max=8``), the 4N level is
 FOUR 8-core/8g executor JVMs (``spark.cores.max=32``), i.e. capacity is
 added exactly the way a real cluster adds it — more executor JVMs of
 constant shape, separate heaps and GCs, netty shuffle between them.
+Each level's worker daemon is CPU-PINNED (sched_setaffinity, inherited
+by executor JVMs and their Python workers) to exactly its core
+entitlement: on a real 8-core node the executor's task threads AND its
+Arrow/pandas-UDF Python workers share 8 cores, so letting the sandbox's
+N level spread that mix over 32 host cores would silently benchmark a
+~16-core machine as "N" and deflate every ratio.
 (Earlier harnesses used single-JVM local[8]/local[32]; both heap policies
 available there are wrong as cluster models: a cores-proportional 48g heap
 made giant sort runs 2.3x slower from GC alone, and a constant 8g heap
@@ -549,7 +585,7 @@ def main() -> None:
     # after EVERY window so an interrupted run still leaves a valid
     # artifact (flagged PARTIAL in its methodology line).
     os.makedirs("/dev/shm/sparktmp", exist_ok=True)
-    mproc, wproc, master_url = start_cluster()
+    mproc, master_url = start_master()
     windows = []
     summary = None
     try:
@@ -557,11 +593,19 @@ def main() -> None:
         for w in range(n_windows):
             pair = {}
             for cores in (N_CORES, N4_CORES):
-                out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--worker", str(cores), str(n_docs)],
-                    capture_output=True, text=True, cwd=REPO, timeout=3600,
-                    env={**os.environ, "SCALING_MASTER": master_url},
-                )
+                # a FRESH worker daemon per level, pinned to the level's
+                # core entitlement (see start_worker: executor JVMs and
+                # their Python workers inherit the affinity mask, so "8
+                # cores" cannot free-ride on the host's other 24)
+                wproc = start_worker(master_url, cores)
+                try:
+                    out = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__), "--worker", str(cores), str(n_docs)],
+                        capture_output=True, text=True, cwd=REPO, timeout=3600,
+                        env={**os.environ, "SCALING_MASTER": master_url},
+                    )
+                finally:
+                    _stop_daemons(wproc)
                 lines = [x for x in out.stdout.splitlines() if x.startswith("{")]
                 if not lines:
                     raise RuntimeError(
@@ -600,7 +644,7 @@ def main() -> None:
             windows.append(pair)
             summary = _write_baseline(windows, n_docs, n_windows)
     finally:
-        _stop_daemons(wproc, mproc)
+        _stop_daemons(mproc)
     print(json.dumps(summary))
 
 
