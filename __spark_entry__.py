@@ -691,6 +691,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hcqr_docs_diff_htm": _hcqr_docs("join - dup", "htm", 9),
         "dedup_jaccard": _dedup_jaccard,
         "doc_cells_zxy9": _doc_cells_zxy,
+        "events_window_stats": _events_window_stats,
+        "events_sessions": _events_sessions,
     })
     for name, (fn, _sql) in _text_entries().items():
         if name not in _TEXT_IN_BUDGET:
@@ -698,12 +700,31 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
+def _events_window_stats(spark, sf):
+    from oscar_spatial_index_compare_spark.streaming.events import (
+        event_window_stats,
+    )
+    return event_window_stats(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def _events_sessions(spark, sf):
+    from oscar_spatial_index_compare_spark.streaming.events import event_sessions
+    return event_sessions(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 def extra_oracle_sql() -> dict[str, str]:
     from oscar_spatial_index_compare_spark.operators.dedup import (
         jaccard_pairs_oracle,
     )
+    from oscar_spatial_index_compare_spark.streaming.events import (
+        event_sessions_oracle,
+        event_window_stats_oracle,
+    )
 
-    o = {}
+    o = {
+        "events_window_stats": event_window_stats_oracle(),
+        "events_sessions": event_sessions_oracle(),
+    }
     for name, tree in _OPTREES_EXTRA.items():
         o[name] = optree_oracle_sql(tree, res=_ZRES)
     for name, tree in _OPTREES_ZXY_EXTRA.items():
