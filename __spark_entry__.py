@@ -693,11 +693,44 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cells_zxy9": _doc_cells_zxy,
         "events_window_stats": _events_window_stats,
         "events_sessions": _events_sessions,
+        "multimodal_metadata": _multimodal_metadata,
     })
     for name, (fn, _sql) in _text_entries().items():
         if name not in _TEXT_IN_BUDGET:
             q[name] = fn
     return q
+
+
+def _multimodal_metadata(spark, sf):
+    """Binary-payload metadata extraction through the REAL multimodal
+    plumbing (mapInPandas over Arrow byte batches).  The decode stub is
+    deterministic sha256 arithmetic, so DuckDB reproduces every value —
+    the oracle certifies the Spark-side schema/batching/UDF contract
+    end-to-end even though the codec is a sandbox fake."""
+    from oscar_spatial_index_compare_spark.operators.multimodal import (
+        extract_metadata, media_from_documents,
+    )
+    from oscar_spatial_index_compare_spark.sources.tables import documents_cc
+
+    return extract_metadata(media_from_documents(documents_cc(spark, sf)))
+
+
+_MULTIMODAL_META_ORACLE = """
+WITH p AS (
+  SELECT doc_id, '<html><body>' || text || '</body></html>' AS s FROM documents
+), h AS (
+  SELECT doc_id, CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
+         sha256(s) AS hx FROM p
+)
+SELECT doc_id, 'text/html' AS media_type, n_bytes, hx AS "sha256",
+       CAST(64 + (16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+                  + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 192
+            AS INTEGER) AS width,
+       CAST(64 + (16 * (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)
+                  + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 192
+            AS INTEGER) AS height
+FROM h
+"""
 
 
 def _events_window_stats(spark, sf):
@@ -724,6 +757,7 @@ def extra_oracle_sql() -> dict[str, str]:
     o = {
         "events_window_stats": event_window_stats_oracle(),
         "events_sessions": event_sessions_oracle(),
+        "multimodal_metadata": _MULTIMODAL_META_ORACLE,
     }
     for name, tree in _OPTREES_EXTRA.items():
         o[name] = optree_oracle_sql(tree, res=_ZRES)
