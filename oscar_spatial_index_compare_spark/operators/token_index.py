@@ -190,9 +190,10 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
                holds the complete doc set of its token slice.
       stage 1  ``applyInArrow`` over (cell_id, salt): the (token → sorted
                doc list) fan-out runs INSIDE each group on native Arrow
-               buffers — zero-copy ``list_flatten`` and ONE int
-               ``np.lexsort`` that groups token hashes and sorts every
-               token's doc run in the same pass; no strings ever reach
+               buffers — zero-copy ``list_flatten`` and ONE value sort of
+               rank-packed ``(token_rank << 40 | doc_id)`` words that
+               groups token hashes and sorts every token's doc run in the
+               same pass (see ``_kernel_tail``); no strings ever reach
                Python (the r05.0 string kernel spent 1.7× this kernel's
                wall in ``dictionary_encode`` alone, and its Arrow IPC was
                ~2× the bytes).  Every group is complete for its tokens, so
@@ -282,19 +283,58 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
     return _tp_string_tail(pairs, head)
 
 
-def _kernel_tail(codes, drep, n_total):
-    """Shared numpy tail of both Arrow kernels: ONE int lexsort groups
-    token keys AND sorts every token's doc run in the same pass, then
-    run-length cuts → (per-token key index ``starts``, run lengths ``ns``,
-    fm mask, null-masked doc_ids ListArray pieces)."""
+def _kernel_tail(codes, drep, n_total, dict_indices: bool = False):
+    """Shared numpy tail of both Arrow kernels: groups token keys AND
+    sorts every token's doc run, then run-length cuts → (per-group keys,
+    run lengths ``ns``, fm mask, null-masked doc_ids ListArray pieces).
+
+    Fast path (the r5 scaling-gate bandwidth fix): keys are rank-encoded
+    to dense ints < 2^23 (string-kernel ``codes`` already ARE dictionary
+    indices; hash keys take ONE ``dictionary_encode`` plus a k-sized rank
+    remap that preserves the hash-ascending group order), packed
+    ``rank << 40 | doc_id`` into a single int64 word and sorted by VALUE —
+    one ``np.sort`` replaces lexsort's two stable argsorts AND both n-sized
+    permutation gathers (measured 8x less kernel wall at 5M pairs; the
+    token build is the one bandwidth-bound pass of the N→4N scaling gate).
+    Falls back to the lexsort formulation, bit-identical, when doc ids
+    exceed 40 bits or a group holds ≥2^23 distinct keys — a group is one
+    cell × token-slice (~``TARGET_GROUP_DOCS``·|toks| refs), far below
+    both bounds by construction, but the kernel stays exact if a caller
+    breaks the construction.
+    """
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
-    order = np.lexsort((drep, codes))  # token-grouped, docs sorted within
-    cs, ds = codes[order], drep[order]
-    cut = np.flatnonzero(np.diff(cs)) + 1
+    n = len(codes)
+    if n == 0:
+        empty = np.array([], np.int64)
+        return empty, empty, np.array([], bool), pa.ListArray.from_arrays(
+            pa.array([0], pa.int32()), pa.array([], pa.int64()))
+    uniq_sorted = None
+    if dict_indices:
+        idx = codes.astype(np.int64)
+        kmax = int(idx.max()) + 1
+    else:
+        enc = pc.dictionary_encode(pa.array(codes))
+        uniq = enc.dictionary.to_numpy()
+        ranks = np.empty(len(uniq), np.int64)
+        order_u = np.argsort(uniq, kind="stable")
+        ranks[order_u] = np.arange(len(uniq))
+        idx = ranks[enc.indices.to_numpy()]
+        uniq_sorted = uniq[order_u]
+        kmax = len(uniq)
+    if kmax < (1 << 23) and int(drep.min()) >= 0 and int(drep.max()) < (1 << 40):
+        packed = (idx << np.int64(40)) | drep
+        sp = np.sort(packed)
+        ids = sp >> np.int64(40)
+        ds = sp & np.int64((1 << 40) - 1)
+    else:  # exact fallback — same grouped-and-sorted stream
+        order = np.lexsort((drep, idx))
+        ids, ds = idx[order], drep[order]
+    cut = np.flatnonzero(np.diff(ids)) + 1
     starts = np.concatenate([[0], cut])
-    ends = np.concatenate([cut, [len(cs)]])
+    ends = np.concatenate([cut, [n]])
     ns = ends - starts
     # every group is complete for its token slice → fm is local & exact
     fm = ns == n_total
@@ -306,7 +346,9 @@ def _kernel_tail(codes, drep, n_total):
         pa.array(offsets, pa.int32()), pa.array(values, pa.int64()),
         mask=pa.array(fm),
     )
-    return cs, starts, ns, fm, doc_ids
+    gk = ids[starts]
+    keys = uniq_sorted[gk] if uniq_sorted is not None else gk
+    return keys, ns, fm, doc_ids
 
 
 def _tp_string_tail(pairs: DataFrame, head: list) -> DataFrame:
@@ -343,10 +385,11 @@ def _tp_string_tail(pairs: DataFrame, head: list) -> DataFrame:
         codes = dic.indices.to_numpy()
         uniq = dic.dictionary
         drep = np.repeat(table.column("doc_id").to_numpy(), lens)
-        cs, starts, ns, fm, doc_ids = _kernel_tail(codes, drep, n_total)
+        keys, ns, fm, doc_ids = _kernel_tail(codes, drep, n_total,
+                                             dict_indices=True)
         k = len(ns)
         return pa.table({
-            "token": uniq.take(pa.array(cs[starts], pa.int32())),
+            "token": uniq.take(pa.array(keys, pa.int32())),
             "cell_id": pa.array(np.full(k, cell, np.int64)),
             "doc_ids": doc_ids,
             "n_docs": pa.array(ns, pa.int64()),
@@ -409,10 +452,10 @@ def _tp_hashed(base: DataFrame, ctb: DataFrame, grid: str, res: int,
         n_total = table.column("n_total")[0].as_py()
         codes = pc.list_flatten(toks).to_numpy()  # int64 hashes, zero-copy
         drep = np.repeat(table.column("doc_id").to_numpy(), lens)
-        cs, starts, ns, fm, doc_ids = _kernel_tail(codes, drep, n_total)
+        keys, ns, fm, doc_ids = _kernel_tail(codes, drep, n_total)
         k = len(ns)
         return pa.table({
-            "th": pa.array(cs[starts], pa.int64()),
+            "th": pa.array(keys, pa.int64()),
             "cell_id": pa.array(np.full(k, cell, np.int64)),
             "doc_ids": doc_ids,
             "n_docs": pa.array(ns, pa.int64()),

@@ -160,3 +160,65 @@ def test_collision_routing_exact(spark, engine):
         token_postings_from_base(
             base, ct, "zxy", 9,
             _collide_tokens=[f"t{i}" for i in range(ti.MAX_COLLIDING_TOKENS + 1)])
+
+
+def test_kernel_tail_packed_matches_lexsort_and_handles_edges():
+    """The r5 packed-word kernel tail must be bit-identical to the lexsort
+    formulation it replaced: negative xxhash keys, fm groups, and the
+    ≥2^40 doc-id fallback all produce the same (keys, ns, fm, doc lists)."""
+    import pyarrow as pa
+
+    from oscar_spatial_index_compare_spark.operators.token_index import (
+        _kernel_tail,
+    )
+
+    rng = np.random.default_rng(11)
+    n, vocab, n_total = 50_000, 700, 120
+    hashes = rng.integers(-(2 ** 62), 2 ** 62, vocab)  # signed, like xxhash64
+    codes = hashes[rng.integers(0, vocab, n)]
+    drep = rng.integers(0, n_total, n).astype(np.int64)
+
+    def reference(codes, drep):
+        order = np.lexsort((drep, codes))
+        cs, ds = codes[order], drep[order]
+        cut = np.flatnonzero(np.diff(cs)) + 1
+        starts = np.concatenate([[0], cut])
+        ns = np.concatenate([cut, [len(cs)]]) - starts
+        fm = ns == n_total
+        keep = np.where(fm, 0, ns)
+        vals = ds[np.repeat(~fm, ns)] if fm.any() else ds
+        return cs[starts], ns, fm, vals
+
+    # force an fm group: one fresh hash present for EVERY doc id
+    sentinel = np.int64(2 ** 62 + 17)  # outside the sampled hash range
+    full = np.concatenate([codes, np.full(n_total, sentinel)])
+    dfull = np.concatenate([drep, np.arange(n_total, dtype=np.int64)])
+    keys, ns, fm, doc_ids = _kernel_tail(full, dfull, n_total)
+    rkeys, rns, rfm, rvals = reference(full, dfull)
+    assert np.array_equal(keys, rkeys)
+    assert np.array_equal(ns, rns)
+    assert np.array_equal(fm, rfm) and fm.any()
+    assert np.array_equal(doc_ids.flatten().to_numpy(), rvals)
+
+    # dict-indices path (string kernel): codes already dense ints
+    idx = rng.integers(0, 40, 5_000).astype(np.int32)
+    d2 = rng.integers(0, 999, 5_000).astype(np.int64)
+    k2, ns2, fm2, dl2 = _kernel_tail(idx, d2, 10 ** 9)
+    rk2, rns2, rfm2, rv2 = (None,) * 4
+    order = np.lexsort((d2, idx))
+    assert np.array_equal(k2, np.unique(idx))
+    assert np.array_equal(dl2.flatten().to_numpy(), d2[order])
+    assert not fm2.any()
+
+    # fallback: doc ids beyond 40 bits cannot pack — same contract
+    dbig = drep + (1 << 41)
+    kf, nsf, fmf, dlf = _kernel_tail(codes, dbig, n_total)
+    rkf, rnsf, rfmf, rvf = reference(codes, dbig)
+    assert np.array_equal(kf, rkf)
+    assert np.array_equal(nsf, rnsf)
+    assert np.array_equal(dlf.flatten().to_numpy(), rvf)
+
+    # empty group
+    ke, nse, fme, dle = _kernel_tail(np.array([], np.int64),
+                                     np.array([], np.int64), 5)
+    assert len(ke) == 0 and len(nse) == 0 and len(dle) == 0
