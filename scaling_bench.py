@@ -592,27 +592,49 @@ def main() -> None:
         probes = [hardware_probe()]
         for w in range(n_windows):
             pair = {}
+            window_dead = None
             for cores in (N_CORES, N4_CORES):
                 # a FRESH worker daemon per level, pinned to the level's
                 # core entitlement (see start_worker: executor JVMs and
                 # their Python workers inherit the affinity mask, so "8
-                # cores" cannot free-ride on the host's other 24)
-                wproc = start_worker(master_url, cores)
-                try:
-                    out = subprocess.run(
-                        [sys.executable, os.path.abspath(__file__), "--worker", str(cores), str(n_docs)],
-                        capture_output=True, text=True, cwd=REPO, timeout=3600,
-                        env={**os.environ, "SCALING_MASTER": master_url},
-                    )
-                finally:
-                    _stop_daemons(wproc)
-                lines = [x for x in out.stdout.splitlines() if x.startswith("{")]
-                if not lines:
-                    raise RuntimeError(
-                        f"worker {cores} produced no result:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
-                pair[cores] = json.loads(lines[-1])
-                print(lines[-1], flush=True)
+                # cores" cannot free-ride on the host's other 24).
+                # A worker can wedge forever on a lost py4j response
+                # (observed once on this host: executor idle, driver's
+                # DAG scheduler empty, python blocked in recv on the
+                # gateway socket) — bound it well above the worst honest
+                # wall (~8 min at N throttled) and retry ONCE with fresh
+                # daemons; if both attempts die, skip THIS window and
+                # keep measuring the rest instead of aborting the run.
+                for attempt in (1, 2):
+                    wproc = start_worker(master_url, cores)
+                    try:
+                        out = subprocess.run(
+                            [sys.executable, os.path.abspath(__file__), "--worker", str(cores), str(n_docs)],
+                            capture_output=True, text=True, cwd=REPO, timeout=1200,
+                            env={**os.environ, "SCALING_MASTER": master_url},
+                        )
+                    except subprocess.TimeoutExpired:
+                        out = None
+                    finally:
+                        _stop_daemons(wproc)
+                    lines = ([x for x in out.stdout.splitlines() if x.startswith("{")]
+                             if out is not None else [])
+                    if lines:
+                        pair[cores] = json.loads(lines[-1])
+                        print(lines[-1], flush=True)
+                        break
+                    detail = ("timeout" if out is None else
+                              f"no result:\n{out.stdout[-1000:]}\n{out.stderr[-2000:]}")
+                    print(json.dumps({"window": w, "cores": cores,
+                                      "attempt": attempt, "error": detail[:4000]}),
+                          flush=True)
+                else:
+                    window_dead = f"worker {cores} failed twice"
+                    break
             probes.append(hardware_probe())
+            if window_dead:
+                print(json.dumps({"window": w, "skipped": window_dead}), flush=True)
+                continue
             pre, post = probes[w], probes[w + 1]
             # conservative per-window ceiling: the best host state seen on
             # either side (a larger ceiling can only LOWER the normalized eff)
