@@ -495,7 +495,7 @@ reported), one token-postings write, and 1 warmup + 2 timed query batches
 own measured ceiling (the shared host shows ~2x noisy-neighbor swings
 lasting tens of minutes, so numbers from different windows must never be
 paired).  A window is CLEAN when its bracketing probes agree
-(|Δceiling| ≤ 0.15 on both axes, neither side implying an impossible
+(|Δceiling| ≤ 0.15 CPU / ≤ 0.25 mem, neither side implying an impossible
 >1.0 ratio) — i.e. the host did not shift mid-window; the headline is the
 best clean window with the clean-window median alongside{" — NO CLEAN WINDOW EXISTED in this run, numbers below are from unclean windows and should be re-measured" if no_clean_window else ""}.
 Shuffle temp is on tmpfs so the sandbox's shared disk (which a real
