@@ -85,18 +85,16 @@ def worker(cores: int, n_docs: int) -> None:
     for impl in impls:
         ab[impl] = {"warm": round(one(impl), 2),
                     "t1": round(one(impl), 2), "t2": round(one(impl), 2)}
-    t_warm = t1 = t2 = 0.0
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
     stages = json.loads(urllib.request.urlopen(
         f"{ui}/api/v1/applications/{app_id}/stages?status=complete").read())
     rows = []
     for s in stages:
-        sub = s.get("firstTaskLaunchedTime") or s.get("submissionTime")
         rows.append({
             "id": s["stageId"], "name": s["name"].split("\n")[0][:70],
             "tasks": s["numCompleteTasks"],
-            "wall_ms": None, "sub": sub,
+            "sub": s.get("firstTaskLaunchedTime") or s.get("submissionTime"),
             "exec_run_ms": s.get("executorRunTime"),
             "exec_cpu_ms": (s.get("executorCpuTime") or 0) // 1_000_000,
             "shuffle_write_mb": round((s.get("shuffleWriteBytes") or 0) / 1e6, 1),

@@ -138,8 +138,19 @@ class Engine:
                         f"cell_totals_{suffix}", "cell_totals",
                         [f"index_base_{suffix}"], sort_within=["cell_id"],
                         params=params)
-                tp_raw = token_postings_from_base(base, ct, grid, res,
-                                                  n_docs_hint=self.n_docs())
+                # tp_raw is built LAZILY (memoized thunk): constructing the
+                # token-postings plan runs the eager vocab/collision-audit
+                # Spark action, which a query-side engine opening a fully
+                # materialized catalog must never pay (the materialize
+                # calls below short-circuit on their checkpoint gate
+                # without ever invoking the thunk)
+                lazies: dict = {}
+
+                def tp_raw():
+                    if "tp" not in lazies:
+                        lazies["tp"] = token_postings_from_base(
+                            base, ct, grid, res, n_docs_hint=self.n_docs())
+                    return lazies["tp"]
                 # the store is a property OF THE CATALOG, not the session:
                 # a query-side Engine opened without the flag must still
                 # read a --dedup catalog through the refs+dictionary
@@ -161,16 +172,22 @@ class Engine:
                         resolve_postings,
                     )
 
-                    store, refs = posting_store_build(tp_raw)
+                    def store_refs():
+                        if "sr" not in lazies:
+                            lazies["sr"] = posting_store_build(tp_raw())
+                        return lazies["sr"]
+
                     # both store/refs writes run the pm collect_list plan —
                     # sort-based list agg (see token_postings_from_base)
                     with sorted_list_agg(self.spark):
                         store_t = self.catalog.materialize(
-                            store, f"posting_lists_{suffix}", "posting_lists",
+                            lambda: store_refs()[0],
+                            f"posting_lists_{suffix}", "posting_lists",
                             [f"index_base_{suffix}", f"cell_totals_{suffix}"],
                             sort_within=["list_id"], params=params)
                         refs_t = self.catalog.materialize(
-                            refs, f"token_postings_refs_{suffix}",
+                            lambda: store_refs()[1],
+                            f"token_postings_refs_{suffix}",
                             "token_postings_refs",
                             [f"index_base_{suffix}", f"cell_totals_{suffix}"],
                             sort_within=["token", "cell_id"], params=params)

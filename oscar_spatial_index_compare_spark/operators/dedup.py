@@ -119,11 +119,12 @@ def jaccard_pairs(docs: DataFrame, threshold_ppm: int = 500_000,
     ``max_docs`` documents (pass ``max_docs=None`` to override explicitly).
     """
     if max_docs is not None:
-        n = docs.count()
-        if n > max_docs:
+        # capped count: scanning exactly max_docs+1 rows decides the guard
+        # without a full count of a billion-row corpus
+        if docs.limit(max_docs + 1).count() > max_docs:
             raise ValueError(
                 f"jaccard_pairs is the exact small-scale variant "
-                f"({n:,} docs > max_docs={max_docs:,}); use minhash_lsh_pairs "
+                f"(> max_docs={max_docs:,} documents); use minhash_lsh_pairs "
                 f"for large corpora or pass max_docs=None to force"
             )
     sh = shingles(docs)

@@ -89,12 +89,18 @@ def _partial_topk(per_doc: DataFrame, max_k: int) -> DataFrame:
 # counts).  Bounded FIFO — an evicted entry's id can recycle safely because
 # the entry is gone.
 MAX_DRIVER_COUNT_CELLS = 2_000_000
-_COUNTS_CACHE: dict[tuple, tuple[DataFrame, dict[int, int] | None]] = {}
+_COUNTS_CACHE: dict[tuple, tuple[DataFrame, dict[int, int] | None, int, int]] = {}
 _COUNTS_CACHE_CAP = 64
 
 
 def _cell_doc_counts(probe: DataFrame, source: DataFrame,
-                     key: tuple) -> dict[int, int] | None:
+                     key: tuple) -> tuple[dict[int, int] | None, int, int]:
+    """→ (per-cell distinct-doc counts | None, max cells-per-doc M*, distinct
+    docs D).  Per-cell counts OVERCOUNT docs whose mentions span several
+    cells (each cell counts the doc once), so the density bound in
+    ``knn_docs`` needs M* and D to turn the cumulative per-cell sum into a
+    provable LOWER bound on distinct docs; both come from one extra
+    aggregation cached with the counts (fixed cost, r04 VERDICT item 7)."""
     if key not in _COUNTS_CACHE:
         rows = (
             probe.groupBy("cell_id")
@@ -107,12 +113,22 @@ def _cell_doc_counts(probe: DataFrame, source: DataFrame,
         # a (re)computed counts entry invalidates any geometry cached under
         # the same key (id() reuse after an eviction)
         _GEOM_CACHE.pop(key, None)
-        _COUNTS_CACHE[key] = (
-            source,
-            None if len(rows) > MAX_DRIVER_COUNT_CELLS
-            else {int(r.cell_id): int(r.n) for r in rows},
-        )
-    return _COUNTS_CACHE[key][1]
+        if len(rows) > MAX_DRIVER_COUNT_CELLS:
+            _COUNTS_CACHE[key] = (source, None, 0, 0)
+        else:
+            spread = (
+                probe.groupBy("doc_id")
+                .agg(F.countDistinct("cell_id").alias("nc"))
+                .agg(F.max("nc").alias("mstar"), F.count("*").alias("ndocs"))
+                .collect()[0]
+            )
+            _COUNTS_CACHE[key] = (
+                source,
+                {int(r.cell_id): int(r.n) for r in rows},
+                int(spread.mstar or 0),
+                int(spread.ndocs or 0),
+            )
+    return _COUNTS_CACHE[key][1:]
 
 
 # per-(table, grid, res) populated-cell geometry: ids, counts, centers and a
@@ -181,13 +197,19 @@ def knn_docs(
         )
 
     key = (id(mcells), grid, res)
-    counts = _cell_doc_counts(probe, mcells, key)
+    counts, mstar, ndocs = _cell_doc_counts(probe, mcells, key)
     if counts is None:
         # populated-cell list too large for the driver (very deep res at
         # 100 TB): planar ring expansion with the conservative km bound
         return _knn_ring_expansion(
             spark, probe, g, s, queries, res, max_r, per_doc_topk
         )
+
+    if not counts:
+        # no mentions at this (grid, res): empty result, correct schema
+        # (the grid kernels reject empty id arrays, so bail before geometry)
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, dist_m long, rank int")
 
     # geometry of every populated cell — cached per (table, grid, res)
     # alongside the counts (r04 VERDICT item 7: recomputing center/bbox/
@@ -210,21 +232,30 @@ def knn_docs(
         )
     )
     max_k = max(k for _, _, _, k in queries)
+    # cum(prefix) = Σ per-cell distinct counts OVERCOUNTS distinct docs (a
+    # doc spanning j cells is counted j times), so "cum ≥ k" alone cannot
+    # prove k docs lie within the prefix.  Two sound lower bounds from the
+    # cached spread stats: distinct ≥ cum − (P − D) (the global overcount
+    # budget is exactly P − D) and distinct ≥ ceil(cum / M*); the prefix is
+    # proven once cum reaches the SMALLER of the two thresholds.
+    total_pairs = int(n_arr.sum())
     final_rows = []
     for qid, qlat, qlon, k in queries:
         center_d = haversine_np(qlat, qlon, clat, clon)
         hi = center_d + rad_km
         order = np.argsort(hi, kind="stable")
         cum = np.cumsum(n_arr[order])
-        if cum[-1] >= k:
-            idx = int(np.searchsorted(cum, k))
-            # +0.5 m slack: dist_m is meter-rounded, so a doc tying at the
-            # same rounded dist_m just beyond the raw bound must stay in
-            # the candidate set for the doc_id tie-break (ADVICE r02)
-            d_km = float(hi[order[idx]]) + 0.0005
-            mask = center_d - rad_km <= d_km
-        else:
-            mask = np.ones(len(cells), bool)  # < k docs exist: scan all
+        mask = np.ones(len(cells), bool)  # default: scan every populated cell
+        if len(cells) and ndocs >= k:
+            need = min(k + total_pairs - ndocs, (k - 1) * mstar + 1)
+            idx = int(np.searchsorted(cum, need))
+            if idx < len(cum):
+                # +0.5 m slack: dist_m is meter-rounded, so a doc tying at
+                # the same rounded dist_m just beyond the raw bound must
+                # stay in the candidate set for the doc_id tie-break
+                # (ADVICE r02)
+                d_km = float(hi[order[idx]]) + 0.0005
+                mask = center_d - rad_km <= d_km
         for c in cells[mask]:
             final_rows.append((qid, int(c)))
     cand2 = F.broadcast(

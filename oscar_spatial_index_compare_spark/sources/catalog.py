@@ -80,7 +80,7 @@ class Catalog:
     # -- materialize (checkpoint-gated write) ---------------------------------
     def materialize(
         self,
-        df: DataFrame,
+        df,  # DataFrame | Callable[[], DataFrame] (thunk: built only on write)
         table: str,
         stage: str,
         inputs: list[str],
@@ -92,12 +92,17 @@ class Catalog:
         """Write ``df`` as a snapshot of ``table`` unless an identical
         (stage, lineage, params) snapshot already exists; return the stored
         table either way.  ``sort_within`` pre-sorts partitions (postings
-        sorted by cell_id → parquet min/max stats prune range queries)."""
+        sorted by cell_id → parquet min/max stats prune range queries).
+
+        ``df`` may be a zero-arg callable returning the DataFrame: it is
+        invoked only when a build is actually needed, so plan constructions
+        that run eager Spark actions (the token build's vocab/collision
+        audit) cost nothing on the checkpoint-gated resume path."""
         fp = self.fingerprint(stage, inputs, params)
         if not force and self.has(table, fp):
             return self.read(table)
         t0 = time.perf_counter()
-        out = df
+        out = df() if callable(df) else df
         if sort_within:
             out = out.sortWithinPartitions(*sort_within)
         if self.use_iceberg:
