@@ -33,8 +33,6 @@ from ..grids.base import get_grid
 
 HCQR_COLS = ["pixel_id", "level", "is_fm", "doc_ids"]
 
-_BRANCH = {"s2": 4, "zxy": 4, "htm": 4, "h3": 7}
-
 
 def hcqr_from_cqr(cqr: DataFrame, grid: str, res: int, ctotals: DataFrame,
                   min_level: int = 0,
@@ -395,24 +393,32 @@ def _decompose_fm(grid: str, jobs: list[tuple[int, int, list[tuple[int, int]]]])
     leaf_hits: list[int] = []
     for xpix, xlvl, plist in jobs:
         frontier = [(xpix, xlvl)]
-        pset = {(pp, pl) for pp, pl in plist}
-        maxlvl = max(pl for _, pl in plist)
+        # dedup once, then ONE vectorized is_ancestor per frontier cell —
+        # the per-(cell, pair) single-element numpy calls this replaces
+        # were O(levels × frontier × pset) Python overhead and dominated
+        # driver wall near MAX_DRIVER_OVERLAP_PAIRS (r5 review)
+        pairs = list({(pp, pl) for pp, pl in plist})
+        parr = np.fromiter((p for p, _ in pairs), np.int64, len(pairs))
+        larr = np.fromiter((l for _, l in pairs), np.int64, len(pairs))
+        maxlvl = int(larr.max())
         for lvl in range(xlvl, maxlvl + 1):
             nxt = []
             for cpix, clvl in frontier:
                 if clvl != lvl:
                     nxt.append((cpix, clvl))
                     continue
-                hits = [
-                    (pp, pl) for pp, pl in pset
-                    if pl >= clvl and (
-                        (pp == cpix and pl == clvl)
-                        or bool(g.is_ancestor(np.array([cpix]), np.array([pp]))[0])
-                    )
-                ]
-                if not hits:
+                elig = larr >= clvl
+                same = (parr == cpix) & (larr == clvl)
+                anc = np.zeros(len(pairs), bool)
+                n_el = int(elig.sum())
+                if n_el:
+                    anc[elig] = g.is_ancestor(
+                        np.full(n_el, cpix, np.int64), parr[elig])
+                hitmask = elig & (anc | same)
+                nh = int(hitmask.sum())
+                if nh == 0:
                     fm_cells.append((cpix, clvl))
-                elif len(hits) == 1 and hits[0] == (cpix, clvl):
+                elif nh == 1 and bool(same[int(np.argmax(hitmask))]):
                     leaf_hits.append(cpix)
                 else:
                     for kid in g.children(np.array([cpix]))[0].tolist():
@@ -666,9 +672,11 @@ def hcqr_items(h: DataFrame, ctotals: DataFrame, grid: str, res: int,
 def hcqr_stats(h: DataFrame, grid: str, res: int) -> DataFrame:
     """depth() / numberOfNodes() (Q12) + postings-size stats.
 
-    Node count = leaves + distinct proper ancestors down to level 0 (the
-    reference counts its synthetic root one level above — ``H3SpatialGrid.h:6``
-    off-by-one — so we report root_nodes = nodes + 1 alongside).
+    Node count = leaves + distinct proper ancestors down to level 0.  The
+    reference counts its synthetic root one level above
+    (``H3SpatialGrid.h:6`` off-by-one), so a consumer comparing against
+    the reference should add 1 to ``n_nodes`` — no extra column is
+    returned (the oracle hashes pin this exact schema).
     """
     leaves = h.select("pixel_id", "level").dropDuplicates()
     allnodes = explode_ancestors(leaves, grid, res, 0, keep=[]).select(

@@ -240,6 +240,10 @@ def region_query_batch_counts(
     fan-out (a mention row duplicated per matching query) is collapsed by
     the same map-side bit_or.  62 bits per chunk keeps every mask positive
     (no sign-extension edge cases anywhere)."""
+    if not regions:
+        # every lowering below assumes ≥1 region (agg(*[]) and stack(0,)
+        # are invalid; the per-region fallback would index parts[0])
+        return spark.createDataFrame([], "region string, n_docs long")
     probe = mcells.where((F.col("grid") == grid) & (F.col("res") == res))
     pop = populated_cells(probe, (id(mcells), grid, res), source=mcells)
     if pop is not None:
@@ -303,16 +307,22 @@ def _mask_counts(j: DataFrame, names: list[str]) -> DataFrame:
 
 def _mask_sums(bits: DataFrame, names: list[str]) -> DataFrame:
     """(doc_id, _m0.._mK packed masks) → (region, n_docs): one global sum
-    per bit, unpacked to rows with stack()."""
+    per bit, unpacked to rows with stack().  Region names NEVER enter SQL
+    text (a quote/backtick in a caller-supplied name would break the
+    parsed stack(); duplicate names would alias-collide) — the stack works
+    on positional ids and names attach afterwards as literal expressions."""
     CHUNK = 62
     sums = bits.agg(*[
-        F.expr(f"sum((_m{i // CHUNK} >> {i % CHUNK}) & 1)").alias(n)
-        for i, n in enumerate(names)
+        F.expr(f"sum((_m{i // CHUNK} >> {i % CHUNK}) & 1)").alias(f"_q{i}")
+        for i in range(len(names))
     ])
-    stack_args = ", ".join(f"'{n}', `{n}`" for n in names)
+    stack_args = ", ".join(f"{i}, _q{i}" for i in range(len(names)))
+    name_arr = F.array(*[F.lit(n) for n in names])
     return sums.select(F.expr(
-        f"stack({len(names)}, {stack_args}) AS (region, n_docs)"
-    )).select("region", F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"))
+        f"stack({len(names)}, {stack_args}) AS (rid, n_docs)"
+    )).select(
+        F.element_at(name_arr, F.col("rid").cast("int") + 1).alias("region"),
+        F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"))
 
 
 def _runs(arr: np.ndarray, step: int) -> list:

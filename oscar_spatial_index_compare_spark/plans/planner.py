@@ -36,6 +36,11 @@ from .optree import Node, parse
 
 ALL_QTS = frozenset({"exact", "prefix", "suffix", "substring"})
 
+# dictionary-expansion leaves lower to Column.isin(<literals>); above this
+# many matches the literal list itself becomes the bottleneck (plan size,
+# py4j transfer) and the leaf takes the distributed predicate instead
+MAX_PLAN_LITERAL_TOKENS = 10_000
+
 
 def _token_pred(pat: str, qt: str):
     """Distributed leaf predicate on the postings token column — the
@@ -227,8 +232,18 @@ class Planner:
                 matched = match_tokens(ctx.tokens, pat, qt)
                 if not matched:
                     return None
-                tp = ctx.tpostings.where(F.col("token").isin(matched))
-                single = len(matched) == 1
+                if len(matched) > MAX_PLAN_LITERAL_TOKENS:
+                    # a broad pattern (e.g. '*e*') over a large dictionary
+                    # would lower to ONE In-expression carrying 10^5+ string
+                    # literals through py4j — minutes of driver plan-build,
+                    # potentially OOM.  The distributed postings-filter twin
+                    # is plan-size O(1) and verified row-equivalent
+                    # (tests/test_corpus_dictionary.py exercises both paths)
+                    tp = ctx.tpostings.where(_token_pred(pat, qt))
+                    single = qt == "exact"
+                else:
+                    tp = ctx.tpostings.where(F.col("token").isin(matched))
+                    single = len(matched) == 1
             else:
                 # web-scale dictionary: lower to a distributed filter on the
                 # postings table (no driver-side token scan at all)
