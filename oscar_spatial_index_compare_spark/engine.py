@@ -29,7 +29,7 @@ from .operators.index_build import (
 from .operators.mentions import extract_mentions
 from .operators.token_index import sorted_list_agg, token_postings_from_base
 from .plans.planner import Planner, QueryContext
-from .sources.tables import load
+from .sources.tables import ensure_scan_parallelism, load
 
 # Largest token dictionary worth holding on the driver for plan-time leaf
 # expansion; beyond it leaves lower to distributed filters on token_postings.
@@ -73,9 +73,15 @@ class Engine:
         self._hcqr_ctx: dict[tuple[str, int], QueryContext] = {}
         self._tokens: list[str] | None = None
         self._tokens_loaded = False
+        self._vocab: tuple | None = None
+        self._vocab_loaded = False
         self._n_docs: int | None = None
         self._results: "OrderedDict[tuple, DataFrame]" = OrderedDict()
-        self.docs = load(spark, sf_dir, "documents")
+        # the corpus may arrive as one unsplittable parquet file (single row
+        # group): without this guard EVERY narrow derivation (extraction,
+        # cell assignment, token hashing) runs as ONE task — measured 13-29s
+        # single-task per index_base vs ~1s at full parallelism (r06)
+        self.docs = ensure_scan_parallelism(load(spark, sf_dir, "documents"), spark)
         self.mentions = extract_mentions(spark, self.docs)
         if cache:
             self.mentions = self.mentions.cache()
@@ -105,6 +111,33 @@ class Engine:
             )
             self._tokens_loaded = True
         return self._tokens
+
+    def token_vocab(self) -> tuple | None:
+        """(vh, coll) for token_postings_from_base — computed ONCE per
+        corpus and shared by every grid's build (the vocabulary does not
+        depend on the grid; r06).  When the driver dictionary is available
+        (corpus_tokens), vh is a literal frame and the xxhash64 collision
+        audit runs on it (one tiny job, no corpus scan); above the driver
+        cap this returns None and each build runs its own distributed
+        vocab pass as before."""
+        if not self._vocab_loaded:
+            toks = self.corpus_tokens()
+            if toks is None:
+                self._vocab = None
+            else:
+                import pandas as pd
+
+                vh = self.spark.createDataFrame(
+                    pd.DataFrame({"token": toks})
+                ).select("token", F.xxhash64("token").alias("th"))
+                coll_rows = (
+                    vh.groupBy("th").agg(F.collect_list("token").alias("ts"))
+                    .where(F.size("ts") > 1).select("ts").collect()
+                )
+                coll = sorted({t for r in coll_rows for t in r.ts})
+                self._vocab = (vh, coll)
+            self._vocab_loaded = True
+        return self._vocab
 
     def context(self, grid: str = "s2", res: int = 10) -> QueryContext:
         key = (grid, res)
@@ -149,7 +182,8 @@ class Engine:
                 def tp_raw():
                     if "tp" not in lazies:
                         lazies["tp"] = token_postings_from_base(
-                            base, ct, grid, res, n_docs_hint=self.n_docs())
+                            base, ct, grid, res, n_docs_hint=self.n_docs(),
+                            vocab=self.token_vocab())
                     return lazies["tp"]
                 # the store is a property OF THE CATALOG, not the session:
                 # a query-side Engine opened without the flag must still
@@ -215,7 +249,8 @@ class Engine:
                 ct = cell_totals_from_base(full, grid, res,
                                            n_docs_hint=self.n_docs())
                 tp = token_postings_from_base(full, ct, grid, res,
-                                              n_docs_hint=self.n_docs())
+                                              n_docs_hint=self.n_docs(),
+                                              vocab=self.token_vocab())
                 if self.cache:
                     ct = ct.cache()
                     tp = tp.cache()

@@ -381,6 +381,11 @@ N_SIMHASH_BITS = 32
 
 def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 32-bit simhash over distinct-token md5 hashes."""
+    from ..sources.tables import ensure_scan_parallelism
+
+    # the per-token hashing below is the expensive narrow stage; guard
+    # against an unsplittable single-file input serializing it (r06)
+    docs = ensure_scan_parallelism(docs, docs.sparkSession)
     t = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     ).withColumn("x", _h_col(F.col("token")))

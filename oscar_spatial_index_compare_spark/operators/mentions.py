@@ -25,8 +25,77 @@ from ..sources.gazetteer import mentions_subquery_sql
 
 
 def doc_mentions_df(docs: DataFrame) -> DataFrame:
-    """documents → (doc_id, text, ments:array<struct<name,lat,lon>>) — the
-    whole match+jitter dataflow in ONE allocation-free pass per row.
+    """documents → (doc_id, text, ments:array<struct<name,lat,lon>>).
+
+    r06 lowering — token/bigram set intersection instead of the 200-entry
+    ``contains`` scan (guide §1.2 "the distributed algorithm" / §2.3
+    narrower per-task work):
+
+      * ``contains(' '||text||' ', ' name ')`` matches exactly when the
+        name's own token sequence (k ≤ 2 tokens for every gazetteer entry)
+        appears as consecutive entries of ``split(text, ' ')`` — single-space
+        joins are lossless (``join(split(text,' '),' ') == text``), so the
+        two formulations are EQUIVALENT for arbitrary text, including runs
+        of spaces (empty tokens never equal a non-empty name).  Verified
+        row-identical AND per-doc-array-identical on sf1.0 (1.61M mentions).
+      * matching cost per row falls from 200 substring scans of the padded
+        text (O(200·len)) to ONE hash-set ``array_intersect`` of the
+        ~2n-entry gram array against the 200-name literal (O(n + 200)) —
+        measured 1.5x per-task on sf1.0, and the win grows with dictionary
+        size (the old scan is linear in N_ENTRIES, the intersect is not).
+      * ``array_intersect(names_lit, grams)`` preserves the order of its
+        FIRST argument, so ``ments`` stays in gazetteer order — arrays are
+        byte-identical to the contains-scan form, not merely set-equal.
+      * jitter hashes (length/ascii of the name) are computed inline from
+        the matched name; gazetteer coordinates come from ONE literal map
+        lookup per matched name (~32 matches/doc · O(200) short compares,
+        ~50x less work than the scans they replace).
+
+    Names longer than 2 tokens (none today) would break the gram
+    equivalence — such a dictionary falls back to the contains-scan form
+    below, preserving generality.
+    """
+    from ..sources.gazetteer import _JMOD, gazetteer
+
+    if any(n.count(" ") > 1 for n, *_ in gazetteer()):
+        return _doc_mentions_contains(docs)
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    map_entries = []
+    for n, la, lo, _p in gazetteer():
+        # CAST('…' AS DOUBLE) is constant-folded and parses repr() exactly
+        # (a bare 48.85 literal would parse as DECIMAL and change the math)
+        map_entries.append(
+            f"{_q(n)}, named_struct("
+            f"'glat', CAST('{la!r}' AS DOUBLE), 'glon', CAST('{lo!r}' AS DOUBLE))")
+    gmap = "map(" + ", ".join(map_entries) + ")"
+    names = "array(" + ", ".join(_q(n) for n, *_ in gazetteer()) + ")"
+    grams = ("concat(_tk, zip_with(slice(_tk, 1, size(_tk) - 1), "
+             "slice(_tk, 2, size(_tk) - 1), (a, b) -> concat(a, ' ', b)))")
+    jlat = (f"(((doc_id * 1000003 + length(m) * 7919 + ascii(m) * 131)"
+            f" % {_JMOD}) - 2000) / CAST('10000.0' AS DOUBLE)")
+    jlon = (f"(((doc_id * 999983 + length(m) * 104729 + ascii(m) * 37)"
+            f" % {_JMOD}) - 2000) / CAST('10000.0' AS DOUBLE)")
+    ments_sql = (
+        f"transform(array_intersect({names}, {grams}), m -> named_struct("
+        f"'name', m, "
+        f"'lat', element_at(_gm, m).glat + {jlat}, "
+        f"'lon', element_at(_gm, m).glon + {jlon}))"
+    )
+    p0 = docs.select(
+        "doc_id", "text",
+        F.split(F.col("text"), " ").alias("_tk"),
+        F.expr(gmap).alias("_gm"),
+    )
+    return p0.select("doc_id", "text", F.expr(ments_sql).alias("ments"))
+
+
+def _doc_mentions_contains(docs: DataFrame) -> DataFrame:
+    """Contains-scan fallback of doc_mentions_df (general for any name
+    length) — the r02-r05 primary form; see doc_mentions_df for why the
+    gram-intersect lowering replaced it as the default.
 
     Physical shape (r02 VERDICT perf: the transform/array_compact form ran
     the 200-contains scan interpreted with a fresh padded-string allocation

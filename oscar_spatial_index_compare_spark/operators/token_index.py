@@ -157,7 +157,8 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
                              n_docs_hint: int | None = None,
                              target_docs: int = TARGET_GROUP_DOCS,
                              impl: str | None = None,
-                             _collide_tokens: list[str] | None = None) -> DataFrame:
+                             _collide_tokens: list[str] | None = None,
+                             vocab: tuple[DataFrame, list[str]] | None = None) -> DataFrame:
     """Arrow-grouped posting build over doc_index_base (doc_id, toks, cells)
     — the r05 scaling-gate rewrite (r04 VERDICT item 1).
 
@@ -225,6 +226,13 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
     ``impl``: 'arrow' (default — hash-keyed Arrow kernel), 'arrow-str'
     (string-keyed Arrow kernel: no vocab pass / no plan-time action; also
     the collision-routing path), 'jvm' (no Python workers at all).
+
+    ``vocab``: optional pre-computed ``(vh, coll)`` — the (token, th)
+    dimension frame and the sorted colliding-token list.  The vocabulary is
+    a property of the CORPUS, not the grid: an Engine building three grids
+    passes the same pair to every build instead of paying the corpus-wide
+    distinct scan + collision-audit action per grid (r06; guide §1.2 "don't
+    compute things you throw away").
     """
     no_salt = n_docs_hint is not None and n_docs_hint <= target_docs
     salt_expr = (F.lit(1) if no_salt else
@@ -247,7 +255,7 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
         impl = os.environ.get("SPARK_GRAFT_TOKEN_IMPL", "arrow")
     if impl == "arrow":
         return _tp_hashed(base, ctb, grid, res, no_salt, n_shuffle, head,
-                          _collide_tokens)
+                          _collide_tokens, vocab)
     pairs = _salted_pairs(base, ctb, no_salt, n_shuffle, hashed=False)
     if impl == "jvm":
         # JVM tail: explode the token array AFTER the (cell_id, _salt)
@@ -404,21 +412,25 @@ def _tp_string_tail(pairs: DataFrame, head: list) -> DataFrame:
 
 def _tp_hashed(base: DataFrame, ctb: DataFrame, grid: str, res: int,
                no_salt: bool, n_shuffle: int, head: list,
-               _collide_tokens: list[str] | None) -> DataFrame:
+               _collide_tokens: list[str] | None,
+               vocab: tuple[DataFrame, list[str]] | None = None) -> DataFrame:
     """Hash-keyed main path of token_postings_from_base (see its docstring):
     vocab pass + collision audit, int64 exchange, no-strings kernel,
     (th → token) restoration join, string-kernel union for colliding
     tokens.  ``_collide_tokens`` injects a fake colliding set so tests can
     exercise the routing (real 64-bit collisions are unconstructible)."""
-    vh = (base.select(F.explode("toks").alias("token")).distinct()
-          .select("token", F.xxhash64("token").alias("th")))
-    if _collide_tokens is None:
-        coll_rows = (vh.groupBy("th").agg(F.collect_list("token").alias("ts"))
-                     .where(F.size("ts") > 1).select("ts")
-                     .limit(MAX_COLLIDING_TOKENS + 1).collect())
-        coll = sorted({t for r in coll_rows for t in r.ts})
+    if vocab is not None and _collide_tokens is None:
+        vh, coll = vocab
     else:
-        coll = sorted(set(_collide_tokens))
+        vh = (base.select(F.explode("toks").alias("token")).distinct()
+              .select("token", F.xxhash64("token").alias("th")))
+        if _collide_tokens is None:
+            coll_rows = (vh.groupBy("th").agg(F.collect_list("token").alias("ts"))
+                         .where(F.size("ts") > 1).select("ts")
+                         .limit(MAX_COLLIDING_TOKENS + 1).collect())
+            coll = sorted({t for r in coll_rows for t in r.ts})
+        else:
+            coll = sorted(set(_collide_tokens))
     if len(coll) > MAX_COLLIDING_TOKENS:
         raise RuntimeError(
             f"token build: {len(coll)} xxhash64-colliding tokens exceeds "

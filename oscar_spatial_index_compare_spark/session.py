@@ -45,6 +45,18 @@ def get_spark(
         shuffle_partitions = max(cores, 8)
     b = (
         SparkSession.builder.appName(app_name)
+        # InferFiltersFromGenerate copies the generator's INPUT expression
+        # into a `size(x) > 0` filter that predicate pushdown then drives
+        # below every project/exchange down to the file scan — for our
+        # computed-array explodes (mention extraction) the whole gazetteer
+        # match was evaluated TWICE, the pushed copy at raw-scan
+        # parallelism (measured: exploded mentions 6.4s → 1.1s at sf1.0
+        # once excluded; the duplicated work scales with corpus size, so
+        # this is a 100 TB fix, not a local tweak).  Guide §4.4 describes
+        # the same optimizer-duplication trap for filters over computed
+        # columns.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -29,6 +29,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ensure_scan_parallelism(df: DataFrame, spark: SparkSession,
+                            key: str = "doc_id") -> DataFrame:
+    """Guard against unsplittable narrow inputs: if the scan plans FEWER
+    partitions than the cluster has cores (e.g. one parquet file with one
+    row group — every derived narrow stage would run single-task), insert a
+    deterministic hash repartition on ``key`` so the whole downstream
+    pipeline parallelizes.  No-op whenever the scan already has enough
+    splits (any real at-scale input), so the extra exchange only ever buys
+    parallelism that the input could not provide.  Hash-on-key is
+    deterministic under task retry (never round-robin on rand —
+    SPARK-38388)."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, F.col(key))
+
+
 def documents_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's documents table lifted to the input_hint shape.
 

@@ -82,6 +82,30 @@ def test_multi_cell_brute_force_parity_random(spark):
         assert mine == _brute_topk(mentions, qlat, qlon, k), f"query {qid}"
 
 
+def test_candidate_cap_falls_back_to_ring_expansion(spark, monkeypatch):
+    # With the candidate cap forced to 0 every dense/unprunable batch must
+    # take the ring-expansion path (never a queries×cells literal frame)
+    # and still return exact results (VERDICT r05 item 4).
+    import oscar_spatial_index_compare_spark.operators.knn as K
+
+    mentions = [(d, float(0.1 * d), float(0.1 * d)) for d in range(12)]
+    mc = _mcells(spark, "h3", 5, mentions)
+    calls = {"ring": 0}
+    orig = K._knn_ring_expansion
+
+    def spy(*a, **kw):
+        calls["ring"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(K, "_knn_ring_expansion", spy)
+    monkeypatch.setattr(K, "MAX_CANDIDATE_ROWS", 0)
+    got = knn_docs(spark, mc, [(1, 0.0, 0.0, 3)], grid="h3", res=5).collect()
+    assert calls["ring"] == 1
+    want = _brute_topk(mentions, 0.0, 0.0, 3)
+    assert [(r.doc_id, r.dist_m) for r in sorted(got, key=lambda r: r.rank)] \
+        == want
+
+
 def test_empty_populated_cell_set_returns_empty(spark):
     # No mentions at the requested (grid, res): must return an empty frame,
     # not IndexError on an empty cumulative sum.
