@@ -112,6 +112,14 @@ class Engine:
             self._tokens_loaded = True
         return self._tokens
 
+    def _n_write_parts(self) -> int:
+        """Partition count for clustered index-table writes: the token
+        build's docs-per-task heuristic capped at the session's shuffle
+        parallelism — scale-adaptive (grows with the corpus, saturates at
+        cluster size), never a local constant."""
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        return max(1, min(n, -(-self.n_docs() // 2000)))
+
     def token_vocab(self) -> tuple | None:
         """(vh, coll) for token_postings_from_base — computed ONCE per
         corpus and shared by every grid's build (the vocabulary does not
@@ -159,11 +167,22 @@ class Engine:
                     doc_index_full(self.docs, grid, res),
                     f"index_base_{suffix}", "index_base",
                     [self.sf_dir], params=params)
-                mc = self.catalog.materialize(
-                    mention_cells_from_full(base, grid, res),
-                    f"mention_cells_{suffix}", "mention_cells",
-                    [f"index_base_{suffix}"], sort_within=["cell_id"],
-                    params=params)
+                # mention_cells is independent of cell_totals/token_postings
+                # once the base is stored — write it from a driver thread so
+                # its stage back-fills the others' tails (guide §2.6:
+                # actions are only sequential because the driver calls them
+                # sequentially; Catalog._append is lock-guarded for this)
+                from concurrent.futures import ThreadPoolExecutor
+
+                def _mc():
+                    return self.catalog.materialize(
+                        mention_cells_from_full(base, grid, res),
+                        f"mention_cells_{suffix}", "mention_cells",
+                        [f"index_base_{suffix}"], sort_within=["cell_id"],
+                        params=params)
+
+                pool = ThreadPoolExecutor(max_workers=1)
+                mc_fut = pool.submit(_mc)
                 with sorted_list_agg(self.spark):
                     ct = self.catalog.materialize(
                         cell_totals_from_base(base, grid, res,
@@ -185,6 +204,17 @@ class Engine:
                             base, ct, grid, res, n_docs_hint=self.n_docs(),
                             vocab=self.token_vocab())
                     return lazies["tp"]
+
+                def tp_clustered():
+                    # cluster the stored postings BY TOKEN (explicit-N hash
+                    # repartition, AQE-exempt) so a leaf's pushed
+                    # token-equality filter decodes ~1/N of the files via
+                    # parquet dictionary/min-max pruning instead of every
+                    # file (the kernel's (cell, salt) layout spreads every
+                    # token across all files — r06; the reference's static
+                    # index is likewise token-major, per-trie-node payloads)
+                    return tp_raw().repartition(
+                        self._n_write_parts(), "token")
                 # the store is a property OF THE CATALOG, not the session:
                 # a query-side Engine opened without the flag must still
                 # read a --dedup catalog through the refs+dictionary
@@ -234,10 +264,12 @@ class Engine:
                 else:
                     with sorted_list_agg(self.spark):
                         tp = self.catalog.materialize(
-                            tp_raw,
+                            tp_clustered,
                             f"token_postings_{suffix}", "token_postings",
                             [f"index_base_{suffix}", f"cell_totals_{suffix}"],
                             sort_within=["token", "cell_id"], params=params)
+                mc = mc_fut.result()
+                pool.shutdown()
             else:
                 # in-memory mode: ONE cached frame feeds every index table
                 # (the gazetteer match runs once per corpus pass);
@@ -277,8 +309,11 @@ class Engine:
             ht = hcqr_postings_build(
                 ctx.tpostings, ctx.ctotals, grid, res, pop_anc=ctx.pop_anc())
             if self.catalog is not None:
+                # token-clustered like token_postings (see tp_clustered):
+                # single-token HCQR leaves are the hottest read of this table
                 ht = self.catalog.materialize(
-                    ht, f"hcqr_postings_{grid}_{res}", "hcqr_postings",
+                    ht.repartition(self._n_write_parts(), "token"),
+                    f"hcqr_postings_{grid}_{res}", "hcqr_postings",
                     [f"token_postings_{grid}_{res}"],
                     sort_within=["token", "pixel_id"],
                     params={"grid": grid, "res": res})

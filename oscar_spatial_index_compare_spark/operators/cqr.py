@@ -79,7 +79,10 @@ def cqr_difference(left: DataFrame, right: DataFrame, ctotals: DataFrame) -> Dat
     lazily and only for the fm−pm cells (SURVEY §7 hard-part 3)."""
     l = _norm(left).alias("l")
     r = _norm(right).alias("r")
-    j = l.join(r, F.col("l.cell_id") == F.col("r.cell_id"), "left")
+    # the case analysis below references the join THREE times — a lazy
+    # plan boundary computes it once instead of once per branch (r06)
+    j = l.join(r, F.col("l.cell_id") == F.col("r.cell_id"), "left"
+               ).localCheckpoint(eager=False)
     passthrough = j.where(F.col("r.cell_id").isNull()).select(
         F.col("l.cell_id").alias("cell_id"),
         F.col("l.is_fm").alias("is_fm"),
@@ -124,7 +127,10 @@ def cqr_symdiff(left: DataFrame, right: DataFrame, ctotals: DataFrame) -> DataFr
     """
     l = _norm(left).alias("l")
     r = _norm(right).alias("r")
-    j = l.join(r, F.col("l.cell_id") == F.col("r.cell_id"), "full_outer")
+    # four references below (only_l/only_r/pm_pm/fm_pm) — one boundary
+    # instead of four evaluations of the operand subtrees (r06)
+    j = l.join(r, F.col("l.cell_id") == F.col("r.cell_id"), "full_outer"
+               ).localCheckpoint(eager=False)
     only_l = j.where(F.col("r.cell_id").isNull()).select(
         F.col("l.cell_id").alias("cell_id"),
         F.col("l.is_fm").alias("is_fm"),

@@ -114,10 +114,12 @@ def _cell_doc_counts(probe: DataFrame, source: DataFrame,
     ever reaches the driver.  Measured: the two sequential jobs this
     replaces were 0.6 + 1.3 s of the knn_batch5 first touch at sf1.0."""
     if key not in _COUNTS_CACHE:
-        pairs = (
-            probe.select("cell_id", "doc_id").dropDuplicates()
-            .localCheckpoint(eager=False)
-        )
+        # NOTE: pairs is deliberately NOT checkpointed — the union's two
+        # branches re-run the dedup, but the checkpoint write/read of the
+        # whole pair set measured slower than the second shuffle at every
+        # size tried (2.4s vs 1.3s cold at sf1.0); above the driver cap
+        # this whole path yields to ring expansion anyway
+        pairs = probe.select("cell_id", "doc_id").dropDuplicates()
         per_cell = (
             pairs.groupBy("cell_id").agg(F.count("*").alias("a"))
             .select(F.lit(0).alias("kind"), "cell_id", "a", F.lit(0).alias("b"))
@@ -129,7 +131,6 @@ def _cell_doc_counts(probe: DataFrame, source: DataFrame,
             .select(F.lit(1).alias("kind"), F.lit(0).alias("cell_id"), "a", "b")
         )
         rows = per_cell.unionByName(spread).collect()
-        pairs.rdd.unpersist()
         cell_rows = [r for r in rows if r.kind == 0]
         srow = next(r for r in rows if r.kind == 1)
         if len(_COUNTS_CACHE) >= _COUNTS_CACHE_CAP:

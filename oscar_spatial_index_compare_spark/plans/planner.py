@@ -108,11 +108,16 @@ class Planner:
         return self._eval(parse(query))
 
     def docs(self, query: str) -> DataFrame:
-        """Query string → flattened distinct doc_id DataFrame (Q10)."""
+        """Query string → flattened distinct doc_id DataFrame (Q10).
+
+        The CQR is lazily checkpointed before flatten: cqr_flatten
+        references it twice (fm branch joining cell_totals + pm explode),
+        and without a plan boundary the whole op-tree join DAG executes
+        once per reference (r06 — measured ~25% off every optree entry)."""
         c = self.cqr(query)
         if c is None:
             return self.ctx.spark.range(0).select(F.col("id").alias("doc_id"))
-        return cqr_flatten(c, self.ctx.ctotals)
+        return cqr_flatten(c.localCheckpoint(eager=False), self.ctx.ctotals)
 
     # -- HCQR evaluation (SURVEY E3) -----------------------------------------
     def hcqr(self, query: str) -> DataFrame | None:
@@ -164,13 +169,18 @@ class Planner:
                 if not matched:
                     return None
                 if len(matched) == 1:
+                    # lazy checkpoint: the hcqr set ops reference each leaf
+                    # up to 5x (fm/pm splits + broadcast f-sides) — without
+                    # a boundary every reference rescans the postings table
+                    # (r06; same rationale as docs()'s flatten boundary)
                     return ctx.hcqr_tbl.where(
                         F.col("token") == F.lit(matched[0])
-                    ).select("pixel_id", "level", "is_fm", "doc_ids")
+                    ).select("pixel_id", "level", "is_fm", "doc_ids"
+                             ).localCheckpoint(eager=False)
             elif qt == "exact":
                 return ctx.hcqr_tbl.where(F.col("token") == F.lit(pat)).select(
                     "pixel_id", "level", "is_fm", "doc_ids"
-                )
+                ).localCheckpoint(eager=False)
             # multi-token pattern: fall through to the CQR-lift path below
             # (a union of per-token compacted trees is not normal-form)
         if n.op in ("token", "region", "poly", "rect", "cell", "dilate"):
