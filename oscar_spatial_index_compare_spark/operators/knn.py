@@ -97,6 +97,11 @@ _COUNTS_CACHE_CAP = 64
 # shipping a queries×populated-cells broadcast (VERDICT r05 item 4)
 MAX_CANDIDATE_ROWS = 5_000_000
 
+# below this many candidate (doc, cell) pairs (exact bound from the cached
+# per-cell counts) the per-partition Python bounded heap is pure overhead —
+# the window's global top-k alone handles the rows comfortably
+PARTIAL_TOPK_MIN_ROWS = 2_000_000
+
 
 def _cell_doc_counts(probe: DataFrame, source: DataFrame,
                      key: tuple) -> tuple[dict[int, int] | None, int, int]:
@@ -197,7 +202,8 @@ def knn_docs(
         "doc_id", "lat", "lon", "cell_id"
     )
 
-    def per_doc_topk(j: DataFrame, max_k: int) -> DataFrame:
+    def per_doc_topk(j: DataFrame, max_k: int,
+                     use_partial: bool = True) -> DataFrame:
         j = j.withColumn(
             "dist_m",
             dist_m_col(
@@ -205,7 +211,8 @@ def knn_docs(
             ),
         )
         per_doc = j.groupBy("query_id", "doc_id", "k").agg(F.min("dist_m").alias("dist_m"))
-        per_doc = _partial_topk(per_doc, max_k)  # bounded heap per partition
+        if use_partial:
+            per_doc = _partial_topk(per_doc, max_k)  # bounded heap per partition
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist_m").asc(), F.col("doc_id").asc()
         )
@@ -261,6 +268,7 @@ def knn_docs(
     qids_parts: list[np.ndarray] = []
     cells_parts: list[np.ndarray] = []
     n_cand = 0
+    est_rows = 0  # Σ per-query candidate (doc, cell) pairs, from counts
     for qid, qlat, qlon, k in queries:
         center_d = haversine_np(qlat, qlon, clat, clon)
         hi = center_d + rad_km
@@ -279,6 +287,7 @@ def knn_docs(
                 mask = center_d - rad_km <= d_km
         sel = cells[mask]
         n_cand += len(sel)
+        est_rows += int(n_arr[mask].sum())
         if n_cand > MAX_CANDIDATE_ROWS:
             # unprunable dense corpus (or a huge query batch): the literal
             # candidate frame would be a driver-side materialization the
@@ -299,7 +308,13 @@ def knn_docs(
         np.empty(0, np.int64),
     })))
     j2 = probe.join(cand2, probe.cell_id == cand2.cand_cell).join(qdf_all, "query_id")
-    return per_doc_topk(j2, max_k).drop("k")
+    # the per-partition bounded heap (mapInPandas) only pays for itself
+    # when the post-aggregation row set is large; the cached counts give an
+    # exact upper bound on per-doc rows (Σ candidate-cell distinct counts),
+    # so small batches skip the Python boundary entirely — the window alone
+    # is exact (guide §4: eliminate JVM↔Python when built-ins suffice)
+    return per_doc_topk(j2, max_k,
+                        use_partial=est_rows > PARTIAL_TOPK_MIN_ROWS).drop("k")
 
 
 def _knn_ring_expansion(spark, probe, g, s, queries, res, max_r, per_doc_topk):
