@@ -158,20 +158,66 @@ def gh_hcqr_docs(spark: SparkSession, tree: str, cp: DataFrame) -> DataFrame:
     the GeoHierarchy pixel tree and flatten — the completer's query surface
     (reference: GeoHierarchyHCQRCompleter feeding HCQRIndexFromCellIndex).
     Non-region leaves raise: this engine variant only answers queries over
-    its own hierarchy, exactly like the reference completer."""
-    gi = gh_cell_items(cp)
+    its own hierarchy, exactly like the reference completer.
+
+    r06 (VERDICT r05 item 6): the docs surface evaluates in CELL-GRANULAR
+    form throughout — (cell_id, doc_ids) only.  The per-node classify →
+    re-expand round trip of the normal-form API is a doc-set identity (a
+    cell is fm exactly when its docs EQUAL the GH items it would re-pull),
+    so a depth-d tree needs zero re-expansions: region leaves are one
+    pushed equi-join each (their pieces are already per-cell sorted
+    distinct arrays — no merge groupBy), each op is one cell join with a
+    lazy plan boundary, and ``gh_cell_items`` is never computed at all.
+    The normal-form ops (gh_hcqr_op / _classify) remain the pixel-tree
+    API; tests assert both evaluate to identical doc sets."""
     ast = parse(tree)
+
+    def leaf_cells(region_id) -> DataFrame:
+        reg = spark.createDataFrame([(int(region_id),)], "region_id long")
+        return cp.join(F.broadcast(reg), "region_id").select("cell_id", "doc_ids")
 
     def ev(n: Node) -> DataFrame:
         if n.op == "region":
-            return gh_region_leaf(spark, n.args[0])
-        if n.op in ("union", "inter", "diff"):
-            return gh_hcqr_op(n.op, ev(n.args[0]), ev(n.args[1]), cp, gi)
-        raise ValueError(
-            f"GH-HCQR completer answers region-rooted trees only, got {n.op!r}"
-        )
+            return leaf_cells(n.args[0])
+        if n.op not in ("union", "inter", "diff"):
+            raise ValueError(
+                f"GH-HCQR completer answers region-rooted trees only, got {n.op!r}"
+            )
+        lc = ev(n.args[0]).alias("l")
+        rc = ev(n.args[1]).alias("r")
+        if n.op == "union":
+            j = lc.join(rc, F.col("l.cell_id") == F.col("r.cell_id"), "full_outer")
+            cells = j.select(
+                F.coalesce(F.col("l.cell_id"), F.col("r.cell_id")).alias("cell_id"),
+                F.when(F.col("l.doc_ids").isNull(), F.col("r.doc_ids"))
+                .when(F.col("r.doc_ids").isNull(), F.col("l.doc_ids"))
+                .otherwise(F.array_sort(F.array_union(F.col("l.doc_ids"),
+                                                      F.col("r.doc_ids"))))
+                .alias("doc_ids"),
+            )
+        elif n.op == "inter":
+            j = lc.join(rc, F.col("l.cell_id") == F.col("r.cell_id"))
+            cells = j.select(
+                F.col("l.cell_id").alias("cell_id"),
+                F.array_sort(F.array_intersect(F.col("l.doc_ids"),
+                                               F.col("r.doc_ids"))).alias("doc_ids"),
+            ).where(F.size("doc_ids") > 0)
+        else:  # diff
+            j = lc.join(rc, F.col("l.cell_id") == F.col("r.cell_id"), "left")
+            cells = j.select(
+                F.col("l.cell_id").alias("cell_id"),
+                F.when(F.col("r.doc_ids").isNull(), F.col("l.doc_ids"))
+                .otherwise(F.array_sort(F.array_except(F.col("l.doc_ids"),
+                                                       F.col("r.doc_ids"))))
+                .alias("doc_ids"),
+            ).where(F.size("doc_ids") > 0)
+        return cells.localCheckpoint(eager=False)
 
-    return gh_items_of(ev(ast), cp, gi)
+    return (
+        ev(ast)
+        .select(F.explode("doc_ids").alias("doc_id"))
+        .dropDuplicates(["doc_id"])
+    )
 
 
 def gh_hcqr_stats(h: DataFrame) -> DataFrame:

@@ -52,22 +52,28 @@ def _norm_col(vec_col):
     )
 
 
+def _sim_micro(q: list[float]):
+    qn = float(np.linalg.norm(np.asarray(q, dtype=np.float64)))
+    sim = _dot_col(F.col("embedding"), q) / (_norm_col(F.col("embedding")) * F.lit(qn))
+    return F.floor(sim * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+
+
 def cosine_topk(
     emb: DataFrame, queries: list[tuple[int, list[float]]], k: int
 ) -> DataFrame:
-    """→ (query_id, vec_id, sim_micro, rank): exact cosine top-k per query."""
-    parts = []
-    for qid, q in queries:
-        qn = float(np.linalg.norm(np.asarray(q, dtype=np.float64)))
-        sim = _dot_col(F.col("embedding"), q) / (_norm_col(F.col("embedding")) * F.lit(qn))
-        parts.append(emb.select(
-            F.lit(qid).cast("long").alias("query_id"),
-            "vec_id",
-            F.floor(sim * F.lit(1_000_000.0) + F.lit(0.5)).cast("long").alias("sim_micro"),
-        ))
-    scored = parts[0]
-    for p in parts[1:]:
-        scored = scored.unionByName(p)
+    """→ (query_id, vec_id, sim_micro, rank): exact cosine top-k per query.
+
+    ONE scan for the whole batch (r06): each row fans out to its per-query
+    scores through a literal struct array — the previous per-query union
+    re-read the table N times (N full corpus scans at 100 TB)."""
+    entries = [
+        F.struct(F.lit(qid).cast("long").alias("query_id"),
+                 _sim_micro(q).alias("sim_micro"))
+        for qid, q in queries
+    ]
+    scored = emb.select(
+        "vec_id", F.explode(F.array(*entries)).alias("s")
+    ).select("s.query_id", "vec_id", "s.sim_micro")
     w = Window.partitionBy("query_id").orderBy(F.col("sim_micro").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -163,26 +169,29 @@ def ann_topk(
         rows.extend((qid, int(b)) for b in _probe_set(q, planes, hamming))
     probe_df = F.broadcast(spark.createDataFrame(rows, "query_id long, bucket long"))
     cand = bucketed.join(probe_df, "bucket")
-    parts = []
-    for qid, q in queries:
-        qn = float(np.linalg.norm(np.asarray(q, dtype=np.float64)))
-        sim = _dot_col(F.col("embedding"), q) / (_norm_col(F.col("embedding")) * F.lit(qn))
-        parts.append(
-            cand.where(F.col("query_id") == qid).select(
-                "query_id", "vec_id",
-                F.floor(sim * F.lit(1_000_000.0) + F.lit(0.5)).cast("long").alias("sim_micro"),
-            )
-        )
-    scored = parts[0]
-    for p in parts[1:]:
-        scored = scored.unionByName(p)
-    scored = scored.dropDuplicates(["query_id", "vec_id"])
+    scored = _score_candidates(cand, queries)
     w = Window.partitionBy("query_id").orderBy(F.col("sim_micro").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim_micro", "rank")
     )
+
+
+def _score_candidates(cand: DataFrame,
+                      queries: list[tuple[int, list[float]]]) -> DataFrame:
+    """(candidate rows with query_id) → (query_id, vec_id, sim_micro) in ONE
+    pass: a CASE on query_id evaluates only the matching query's dot product
+    per row (CaseWhen branches are lazy).  Replaces the per-query filtered
+    branches that re-evaluated the candidate subtree — bucket hashing
+    included — once per query (r06)."""
+    sim = None
+    for qid, q in queries:
+        sm = _sim_micro(q)
+        sim = (F.when(F.col("query_id") == qid, sm) if sim is None
+               else sim.when(F.col("query_id") == qid, sm))
+    return (cand.select("query_id", "vec_id", sim.alias("sim_micro"))
+            .dropDuplicates(["query_id", "vec_id"]))
 
 
 def write_bucketed_embeddings(emb: DataFrame, path: str) -> None:
@@ -210,20 +219,7 @@ def ann_topk_bucketed(
     probe_df = F.broadcast(spark.createDataFrame(rows, "query_id long, bucket long"))
     all_buckets = sorted({b for _, b in rows})
     cand = emb.where(F.col("bucket").isin(all_buckets)).join(probe_df, "bucket")
-    parts = []
-    for qid, q in queries:
-        qn = float(np.linalg.norm(np.asarray(q, dtype=np.float64)))
-        sim = _dot_col(F.col("embedding"), q) / (_norm_col(F.col("embedding")) * F.lit(qn))
-        parts.append(
-            cand.where(F.col("query_id") == qid).select(
-                "query_id", "vec_id",
-                F.floor(sim * F.lit(1_000_000.0) + F.lit(0.5)).cast("long").alias("sim_micro"),
-            )
-        )
-    scored = parts[0]
-    for p in parts[1:]:
-        scored = scored.unionByName(p)
-    scored = scored.dropDuplicates(["query_id", "vec_id"])
+    scored = _score_candidates(cand, queries)
     w = Window.partitionBy("query_id").orderBy(F.col("sim_micro").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -241,13 +241,19 @@ def token_postings_from_base(base: DataFrame, ctotals: DataFrame,
         "cell_id", F.col("n_docs").alias("n_total"),
         salt_expr.cast("int").alias("_nsalt"),
     )
-    # see _salted_pairs: ~2k docs per task keeps small corpora at a handful
-    # of right-sized files (downstream readers of the stored postings paid
-    # per-file overhead for parallelism the data cannot use) while any
-    # corpus big enough to matter hits the shuffle_partitions cap
-    n_shuffle = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # Kernel-stage parallelism: floored at the cluster's core count now
+    # that output FILE sizing is decoupled from it (the engine clusters the
+    # stored table by token in a separate explicit repartition — r06).  The
+    # old ~2k-docs-per-task cap sized files but also capped the Arrow
+    # kernel stage at 3 tasks for a 5k-doc corpus (measured 4s of a 32-core
+    # build in a 3-task Python stage); any corpus big enough to matter
+    # still hits the shuffle_partitions cap.
+    spark = base.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if n_docs_hint is not None:
-        n_shuffle = max(1, min(n_shuffle, -(-n_docs_hint // 2000)))
+        n_shuffle = max(1, min(n_shuffle,
+                               max(-(-n_docs_hint // 2000),
+                                   spark.sparkContext.defaultParallelism)))
     head = [F.lit("exact").alias("qt"), F.lit(grid).alias("grid"),
             F.lit(res).alias("res")]
     if impl is None:

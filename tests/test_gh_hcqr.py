@@ -58,6 +58,29 @@ def test_gh_matches_cqr_engine(spark, engine, cp, tree):
         assert gh  # non-vacuous: the base leaf matches documents
 
 
+def test_gh_docs_deep_tree_no_reexpansion(spark, engine, cp, monkeypatch):
+    """Depth-5 region tree: the docs surface must evaluate in cell-granular
+    form — zero gh_cell_items computations, one cell_postings equi-join per
+    region leaf — and still match the CQR engine (VERDICT r05 item 6)."""
+    import oscar_spatial_index_compare_spark.operators.gh_hcqr as G
+
+    calls = {"gi": 0}
+    orig = G.gh_cell_items
+
+    def spy(*a, **kw):
+        calls["gi"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(G, "gh_cell_items", spy)
+    tree = ("((($region:2 + $region:6) - $region:1) / "
+            "(($region:2 - $region:1) + ($region:6 / $region:2))) "
+            "+ ($region:1 - $region:6)")
+    gh = {r.doc_id for r in G.gh_hcqr_docs(spark, tree, cp).collect()}
+    assert calls["gi"] == 0  # never re-expanded through the GH item table
+    cqr = {r.doc_id for r in engine.query_docs(tree, grid=GRID, res=RES).collect()}
+    assert gh == cqr
+
+
 def test_gh_region_rooted_only(spark, cp):
     """Non-region leaves raise — the completer answers queries over its
     own hierarchy only, like the reference completer."""
