@@ -167,10 +167,12 @@ class Engine:
                     doc_index_full(self.docs, grid, res),
                     f"index_base_{suffix}", "index_base",
                     [self.sf_dir], params=params)
-                # mention_cells is independent of cell_totals/token_postings
-                # once the base is stored — write it from a driver thread so
-                # its stage back-fills the others' tails (guide §2.6:
-                # actions are only sequential because the driver calls them
+                # mention_cells AND cell_totals are independent of the
+                # token build once the base is stored (the token build
+                # derives the per-cell counts it needs from the base
+                # itself) — write them from driver threads so their stages
+                # back-fill the token build's tails (guide §2.6: actions
+                # are only sequential because the driver calls them
                 # sequentially; Catalog._append is lock-guarded for this)
                 from concurrent.futures import ThreadPoolExecutor
 
@@ -187,15 +189,34 @@ class Engine:
                         [f"index_base_{suffix}"], sort_within=["cell_id"],
                         params=params)
 
-                pool = ThreadPoolExecutor(max_workers=1)
-                mc_fut = pool.submit(_mc)
-                with sorted_list_agg(self.spark):
-                    ct = self.catalog.materialize(
+                def _ct():
+                    return self.catalog.materialize(
                         cell_totals_from_base(base, grid, res,
                                               n_docs_hint=self.n_docs()),
                         f"cell_totals_{suffix}", "cell_totals",
                         [f"index_base_{suffix}"], sort_within=["cell_id"],
                         params=params)
+
+                # the sorted-list-agg conf is session-global: set it ONCE
+                # around the whole concurrent build (never nested per
+                # thread — interleaved save/restore would leak the toggled
+                # value into the rest of the session)
+                sla = sorted_list_agg(self.spark)
+                sla.__enter__()
+                pool = ThreadPoolExecutor(max_workers=2)
+                mc_fut = pool.submit(_mc)
+                ct_fut = pool.submit(_ct)
+                # the token build needs only (cell_id, n_docs) for fm
+                # classification and salt factors — a count-only aggregate
+                # over the stored base (cells are array_distinct per doc,
+                # so count(*) == distinct docs == the stored table's
+                # n_docs), NOT the cell_totals ARRAY table, so the two
+                # writes proceed concurrently
+                ctb_counts = (
+                    base.select(F.explode("cells").alias("cell_id"))
+                    .groupBy("cell_id")
+                    .agg(F.count("*").cast("long").alias("n_docs"))
+                )
                 # tp_raw is built LAZILY (memoized thunk): constructing the
                 # token-postings plan runs the eager vocab/collision-audit
                 # Spark action, which a query-side engine opening a fully
@@ -207,7 +228,8 @@ class Engine:
                 def tp_raw():
                     if "tp" not in lazies:
                         lazies["tp"] = token_postings_from_base(
-                            base, ct, grid, res, n_docs_hint=self.n_docs(),
+                            base, ctb_counts, grid, res,
+                            n_docs_hint=self.n_docs(),
                             vocab=self.token_vocab())
                     return lazies["tp"]
 
@@ -248,8 +270,8 @@ class Engine:
                         return lazies["sr"]
 
                     # both store/refs writes run the pm collect_list plan —
-                    # sort-based list agg (see token_postings_from_base)
-                    with sorted_list_agg(self.spark):
+                    # sort-based list agg via the enclosing sla scope
+                    try:
                         store_t = self.catalog.materialize(
                             lambda: store_refs()[0],
                             f"posting_lists_{suffix}", "posting_lists",
@@ -261,6 +283,11 @@ class Engine:
                             "token_postings_refs",
                             [f"index_base_{suffix}", f"cell_totals_{suffix}"],
                             sort_within=["token", "cell_id"], params=params)
+                        ct = ct_fut.result()
+                        mc = mc_fut.result()
+                    finally:
+                        pool.shutdown()
+                        sla.__exit__(None, None, None)
                     n_bad = posting_store_collisions(store_t)
                     if n_bad:
                         raise RuntimeError(
@@ -268,14 +295,17 @@ class Engine:
                             "rebuild with a wider content key")
                     tp = resolve_postings(refs_t, store_t)
                 else:
-                    with sorted_list_agg(self.spark):
+                    try:
                         tp = self.catalog.materialize(
                             tp_clustered,
                             f"token_postings_{suffix}", "token_postings",
                             [f"index_base_{suffix}", f"cell_totals_{suffix}"],
                             sort_within=["token", "cell_id"], params=params)
-                mc = mc_fut.result()
-                pool.shutdown()
+                        ct = ct_fut.result()
+                        mc = mc_fut.result()
+                    finally:
+                        pool.shutdown()
+                        sla.__exit__(None, None, None)
             else:
                 # in-memory mode: ONE cached frame feeds every index table
                 # (the gazetteer match runs once per corpus pass);

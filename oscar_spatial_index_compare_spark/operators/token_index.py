@@ -338,7 +338,11 @@ def _kernel_tail(codes, drep, n_total, dict_indices: bool = False):
         idx = ranks[enc.indices.to_numpy()]
         uniq_sorted = uniq[order_u]
         kmax = len(uniq)
-    if kmax < (1 << 23) and int(drep.min()) >= 0 and int(drep.max()) < (1 << 40):
+    # idx.min() guard (ADVICE r05): impossible for Arrow dictionary indices
+    # today, but a negative key from a contract-breaking caller would
+    # sign-corrupt the << 40 packing — fall back to lexsort instead
+    if (kmax < (1 << 23) and int(idx.min()) >= 0
+            and int(drep.min()) >= 0 and int(drep.max()) < (1 << 40)):
         packed = (idx << np.int64(40)) | drep
         sp = np.sort(packed)
         ids = sp >> np.int64(40)

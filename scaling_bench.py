@@ -610,7 +610,12 @@ def main() -> None:
                     try:
                         out = subprocess.run(
                             [sys.executable, os.path.abspath(__file__), "--worker", str(cores), str(n_docs)],
-                            capture_output=True, text=True, cwd=REPO, timeout=1200,
+                            capture_output=True, text=True, cwd=REPO,
+                            # wedge bound scales with corpus size (ADVICE
+                            # r05): ~4x the worst honest 1M-doc wall, so a
+                            # legitimately slow bigger run is never
+                            # misclassified as wedged
+                            timeout=max(1200, n_docs // 500),
                             env={**os.environ, "SCALING_MASTER": master_url},
                         )
                     except subprocess.TimeoutExpired:

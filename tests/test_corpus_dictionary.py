@@ -185,7 +185,6 @@ def test_kernel_tail_packed_matches_lexsort_and_handles_edges():
         starts = np.concatenate([[0], cut])
         ns = np.concatenate([cut, [len(cs)]]) - starts
         fm = ns == n_total
-        keep = np.where(fm, 0, ns)
         vals = ds[np.repeat(~fm, ns)] if fm.any() else ds
         return cs[starts], ns, fm, vals
 
@@ -204,7 +203,6 @@ def test_kernel_tail_packed_matches_lexsort_and_handles_edges():
     idx = rng.integers(0, 40, 5_000).astype(np.int32)
     d2 = rng.integers(0, 999, 5_000).astype(np.int64)
     k2, ns2, fm2, dl2 = _kernel_tail(idx, d2, 10 ** 9)
-    rk2, rns2, rfm2, rv2 = (None,) * 4
     order = np.lexsort((d2, idx))
     assert np.array_equal(k2, np.unique(idx))
     assert np.array_equal(dl2.flatten().to_numpy(), d2[order])
