@@ -165,6 +165,11 @@ def hcqr_postings_build(tpostings: DataFrame, ctotals: DataFrame, grid: str,
         covered.join(pop_anc, ["apix", "alvl"])
         .where((F.col("cov") == F.col("tot")) & (F.col("tot") > 0))
         .select("token", F.col("apix").alias("pixel_id"), F.col("alvl").alias("level"))
+        # referenced twice below (maximal's probe AND build side): without a
+        # plan boundary the whole fm-explode + two-groupBy subtree executes
+        # once per reference (lazy checkpoint = materialized inside the
+        # first action, block read for the second — r06)
+        .localCheckpoint(eager=False)
     )
     withp = cand.withColumn("pp", parent1_col(grid, F.col("pixel_id"))).withColumn(
         "plvl", (F.col("level") - 1).cast("int")
