@@ -380,19 +380,30 @@ class Engine:
             from .operators.hcqr import hcqr_postings_build
 
             ctx = self.context(grid, res)
-            ht = hcqr_postings_build(
-                ctx.tpostings, ctx.ctotals, grid, res, pop_anc=ctx.pop_anc())
             if self.catalog is not None:
                 # token-clustered like token_postings (see tp_clustered):
-                # single-token HCQR leaves are the hottest read of this table
+                # single-token HCQR leaves are the hottest read of this
+                # table.  Built as a THUNK: constructing the build frame
+                # plans its localCheckpoint boundary (a real Catalyst
+                # pass), which a query-side open of an already-materialized
+                # catalog must never pay — the materialize short-circuits
+                # on its checkpoint gate without invoking the thunk (same
+                # contract as tp_clustered / store_refs in context()).
                 ht = self.catalog.materialize(
-                    ht.repartition(self._n_write_parts(), "token"),
+                    lambda: hcqr_postings_build(
+                        ctx.tpostings, ctx.ctotals, grid, res,
+                        pop_anc=ctx.pop_anc(),
+                    ).repartition(self._n_write_parts(), "token"),
                     f"hcqr_postings_{grid}_{res}", "hcqr_postings",
                     [f"token_postings_{grid}_{res}"],
                     sort_within=["token", "pixel_id"],
                     params={"grid": grid, "res": res})
-            elif self.cache:
-                ht = ht.cache()
+            else:
+                ht = hcqr_postings_build(
+                    ctx.tpostings, ctx.ctotals, grid, res,
+                    pop_anc=ctx.pop_anc())
+                if self.cache:
+                    ht = ht.cache()
             # a SEPARATE context object: planner() must keep serving the
             # lift-per-query path (mutating the shared ctx would silently
             # switch it — the id()-aliasing class of bug from r02)
