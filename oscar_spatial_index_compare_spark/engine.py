@@ -195,13 +195,26 @@ class Engine:
 
                 vocab_fut = None
                 warm_pool = None
-                if not self.catalog.snapshots(f"index_base_{suffix}"):
+                base_fp = self.catalog.fingerprint(
+                    "index_base", [self.sf_dir], params)
+                if not self.catalog.has(f"index_base_{suffix}", base_fp):
+                    # same gate materialize() uses — a stale-fingerprint
+                    # snapshot (same root, different corpus) must not
+                    # suppress the overlap while the base still rebuilds
                     warm_pool = ThreadPoolExecutor(max_workers=1)
                     vocab_fut = warm_pool.submit(self._prewarm_python_and_vocab)
-                base = self.catalog.materialize(
-                    doc_index_full(self.docs, grid, res),
-                    f"index_base_{suffix}", "index_base",
-                    [self.sf_dir], params=params)
+                try:
+                    base = self.catalog.materialize(
+                        doc_index_full(self.docs, grid, res),
+                        f"index_base_{suffix}", "index_base",
+                        [self.sf_dir], params=params)
+                except BaseException:
+                    # a failed base write must not leak the warm thread (a
+                    # non-daemon executor blocks interpreter shutdown until
+                    # its in-flight vocab collect finishes)
+                    if warm_pool is not None:
+                        warm_pool.shutdown(wait=False, cancel_futures=True)
+                    raise
                 # mention_cells AND cell_totals are independent of the
                 # token build once the base is stored (the token build
                 # derives the per-cell counts it needs from the base
@@ -237,75 +250,75 @@ class Engine:
                 sla = sorted_list_agg(self.spark)
                 sla.__enter__()
                 pool = ThreadPoolExecutor(max_workers=2)
-                mc_fut = pool.submit(_mc)
-                ct_fut = pool.submit(_ct)
-                # the token build needs only (cell_id, n_docs) for fm
-                # classification and salt factors — a count-only aggregate
-                # over the stored base (cells are array_distinct per doc,
-                # so count(*) == distinct docs == the stored table's
-                # n_docs), NOT the cell_totals ARRAY table, so the two
-                # writes proceed concurrently
-                ctb_counts = (
-                    base.select(F.explode("cells").alias("cell_id"))
-                    .groupBy("cell_id")
-                    .agg(F.count("*").cast("long").alias("n_docs"))
-                )
-                # tp_raw is built LAZILY (memoized thunk): constructing the
-                # token-postings plan runs the eager vocab/collision-audit
-                # Spark action, which a query-side engine opening a fully
-                # materialized catalog must never pay (the materialize
-                # calls below short-circuit on their checkpoint gate
-                # without ever invoking the thunk)
-                lazies: dict = {}
-
-                def tp_raw():
-                    if "tp" not in lazies:
-                        lazies["tp"] = token_postings_from_base(
-                            base, ctb_counts, grid, res,
-                            n_docs_hint=self.n_docs(),
-                            vocab=(vocab_fut.result() if vocab_fut is not None
-                                   else self.token_vocab()))
-                    return lazies["tp"]
-
-                def tp_clustered():
-                    # cluster the stored postings BY TOKEN (explicit-N hash
-                    # repartition, AQE-exempt) so a leaf's pushed
-                    # token-equality filter decodes ~1/N of the files via
-                    # parquet dictionary/min-max pruning instead of every
-                    # file (the kernel's (cell, salt) layout spreads every
-                    # token across all files — r06; the reference's static
-                    # index is likewise token-major, per-trie-node payloads)
-                    return tp_raw().repartition(
-                        self._n_write_parts(), "token")
-                # the store is a property OF THE CATALOG, not the session:
-                # a query-side Engine opened without the flag must still
-                # read a --dedup catalog through the refs+dictionary
-                # (otherwise the checkpoint gate misses token_postings and
-                # silently rebuilds the inline table the create step
-                # deliberately never wrote)
-                use_store = self.posting_store or bool(
-                    self.catalog.snapshots(f"posting_lists_{suffix}"))
-                if use_store:
-                    # content-addressed split (``apps/main.cpp:154``): the
-                    # dictionary of distinct lists and the id-refs table are
-                    # what hit disk; queries see the lazily re-resolved view.
-                    # The collision audit runs ON THE STORED dictionary (one
-                    # tiny aggregation) and fails the create step hard — a
-                    # 64-bit key collision must never reach queries.
-                    from .operators.posting_store import (
-                        posting_store_build,
-                        posting_store_collisions,
-                        resolve_postings,
+                try:
+                    mc_fut = pool.submit(_mc)
+                    ct_fut = pool.submit(_ct)
+                    # the token build needs only (cell_id, n_docs) for fm
+                    # classification and salt factors — a count-only aggregate
+                    # over the stored base (cells are array_distinct per doc,
+                    # so count(*) == distinct docs == the stored table's
+                    # n_docs), NOT the cell_totals ARRAY table, so the two
+                    # writes proceed concurrently
+                    ctb_counts = (
+                        base.select(F.explode("cells").alias("cell_id"))
+                        .groupBy("cell_id")
+                        .agg(F.count("*").cast("long").alias("n_docs"))
                     )
+                    # tp_raw is built LAZILY (memoized thunk): constructing the
+                    # token-postings plan runs the eager vocab/collision-audit
+                    # Spark action, which a query-side engine opening a fully
+                    # materialized catalog must never pay (the materialize
+                    # calls below short-circuit on their checkpoint gate
+                    # without ever invoking the thunk)
+                    lazies: dict = {}
 
-                    def store_refs():
-                        if "sr" not in lazies:
-                            lazies["sr"] = posting_store_build(tp_raw())
-                        return lazies["sr"]
+                    def tp_raw():
+                        if "tp" not in lazies:
+                            lazies["tp"] = token_postings_from_base(
+                                base, ctb_counts, grid, res,
+                                n_docs_hint=self.n_docs(),
+                                vocab=(vocab_fut.result() if vocab_fut is not None
+                                       else self.token_vocab()))
+                        return lazies["tp"]
 
-                    # both store/refs writes run the pm collect_list plan —
-                    # sort-based list agg via the enclosing sla scope
-                    try:
+                    def tp_clustered():
+                        # cluster the stored postings BY TOKEN (explicit-N hash
+                        # repartition, AQE-exempt) so a leaf's pushed
+                        # token-equality filter decodes ~1/N of the files via
+                        # parquet dictionary/min-max pruning instead of every
+                        # file (the kernel's (cell, salt) layout spreads every
+                        # token across all files — r06; the reference's static
+                        # index is likewise token-major, per-trie-node payloads)
+                        return tp_raw().repartition(
+                            self._n_write_parts(), "token")
+                    # the store is a property OF THE CATALOG, not the session:
+                    # a query-side Engine opened without the flag must still
+                    # read a --dedup catalog through the refs+dictionary
+                    # (otherwise the checkpoint gate misses token_postings and
+                    # silently rebuilds the inline table the create step
+                    # deliberately never wrote)
+                    use_store = self.posting_store or bool(
+                        self.catalog.snapshots(f"posting_lists_{suffix}"))
+                    if use_store:
+                        # content-addressed split (``apps/main.cpp:154``): the
+                        # dictionary of distinct lists and the id-refs table are
+                        # what hit disk; queries see the lazily re-resolved view.
+                        # The collision audit runs ON THE STORED dictionary (one
+                        # tiny aggregation) and fails the create step hard — a
+                        # 64-bit key collision must never reach queries.
+                        from .operators.posting_store import (
+                            posting_store_build,
+                            posting_store_collisions,
+                            resolve_postings,
+                        )
+
+                        def store_refs():
+                            if "sr" not in lazies:
+                                lazies["sr"] = posting_store_build(tp_raw())
+                            return lazies["sr"]
+
+                        # both store/refs writes run the pm collect_list plan —
+                        # sort-based list agg via the enclosing sla scope
                         store_t = self.catalog.materialize(
                             lambda: store_refs()[0],
                             f"posting_lists_{suffix}", "posting_lists",
@@ -317,33 +330,29 @@ class Engine:
                             "token_postings_refs",
                             [f"index_base_{suffix}", f"cell_totals_{suffix}"],
                             sort_within=["token", "cell_id"], params=params)
-                        ct = ct_fut.result()
-                        mc = mc_fut.result()
-                    finally:
-                        pool.shutdown()
-                        if warm_pool is not None:
-                            warm_pool.shutdown(wait=False)
-                        sla.__exit__(None, None, None)
+                    else:
+                        tp = self.catalog.materialize(
+                            tp_clustered,
+                            f"token_postings_{suffix}", "token_postings",
+                            [f"index_base_{suffix}", f"cell_totals_{suffix}"],
+                            sort_within=["token", "cell_id"], params=params)
+                    ct = ct_fut.result()
+                    mc = mc_fut.result()
+                finally:
+                    pool.shutdown()
+                    if warm_pool is not None:
+                        warm_pool.shutdown(wait=False)
+                    sla.__exit__(None, None, None)
+                if use_store:
+                    # the collision audit runs OUTSIDE the sla scope (as
+                    # before the r06 exception-safety restructure) and must
+                    # fail the create step hard
                     n_bad = posting_store_collisions(store_t)
                     if n_bad:
                         raise RuntimeError(
                             f"posting store: {n_bad} list_id collisions — "
                             "rebuild with a wider content key")
                     tp = resolve_postings(refs_t, store_t)
-                else:
-                    try:
-                        tp = self.catalog.materialize(
-                            tp_clustered,
-                            f"token_postings_{suffix}", "token_postings",
-                            [f"index_base_{suffix}", f"cell_totals_{suffix}"],
-                            sort_within=["token", "cell_id"], params=params)
-                        ct = ct_fut.result()
-                        mc = mc_fut.result()
-                    finally:
-                        pool.shutdown()
-                        if warm_pool is not None:
-                            warm_pool.shutdown(wait=False)
-                        sla.__exit__(None, None, None)
             else:
                 # in-memory mode: ONE cached frame feeds every index table
                 # (the gazetteer match runs once per corpus pass);
@@ -380,6 +389,13 @@ class Engine:
             from .operators.hcqr import hcqr_postings_build
 
             ctx = self.context(grid, res)
+            # evaluated OUTSIDE the thunk: pop_anc() runs no Spark action
+            # (plan + cache mark only) and hoisting it keeps ONE shared
+            # cached frame on the base ctx — inside the lambda, a
+            # query-side open (thunk never invoked) would leave
+            # ctx._pop_anc unset and the replaced hcqr ctx would build and
+            # cache a second, independent copy
+            pa = ctx.pop_anc()
             if self.catalog is not None:
                 # token-clustered like token_postings (see tp_clustered):
                 # single-token HCQR leaves are the hottest read of this
@@ -389,19 +405,28 @@ class Engine:
                 # catalog must never pay — the materialize short-circuits
                 # on its checkpoint gate without invoking the thunk (same
                 # contract as tp_clustered / store_refs in context()).
+                boundaries: list = []
                 ht = self.catalog.materialize(
                     lambda: hcqr_postings_build(
                         ctx.tpostings, ctx.ctotals, grid, res,
-                        pop_anc=ctx.pop_anc(),
+                        pop_anc=pa, boundary_sink=boundaries,
                     ).repartition(self._n_write_parts(), "token"),
                     f"hcqr_postings_{grid}_{res}", "hcqr_postings",
                     [f"token_postings_{grid}_{res}"],
                     sort_within=["token", "pixel_id"],
                     params={"grid": grid, "res": res})
+                for b in boundaries:
+                    # the build's internal checkpoint blocks are dead once
+                    # the table is written — free them now instead of
+                    # waiting for the ContextCleaner (ADVICE r03 pattern,
+                    # same as the result-LRU eviction below)
+                    try:
+                        b.rdd.unpersist()
+                    except Exception:
+                        pass
             else:
                 ht = hcqr_postings_build(
-                    ctx.tpostings, ctx.ctotals, grid, res,
-                    pop_anc=ctx.pop_anc())
+                    ctx.tpostings, ctx.ctotals, grid, res, pop_anc=pa)
                 if self.cache:
                     ht = ht.cache()
             # a SEPARATE context object: planner() must keep serving the
