@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from .operators.index_build import (
     cell_totals_from_base,
     doc_index_full,
+    doc_index_full_from_full,
     mention_cells_from_full,
 )
 from .operators.mentions import extract_mentions
@@ -80,11 +81,20 @@ class Engine:
         # the corpus may arrive as one unsplittable parquet file (single row
         # group): without this guard EVERY narrow derivation (extraction,
         # cell assignment, token hashing) runs as ONE task — measured 13-29s
-        # single-task per index_base vs ~1s at full parallelism (r06)
-        self.docs = ensure_scan_parallelism(load(spark, sf_dir, "documents"), spark)
+        # single-task per index_base vs ~1s at full parallelism (r06).
+        # input_path lets the guard size-estimate the splits instead of
+        # planning the scan (~0.5-1 s of serial driver time saved, r06
+        # third pass)
+        self.docs = ensure_scan_parallelism(
+            load(spark, sf_dir, "documents"), spark,
+            input_path=f"{sf_dir}/documents.parquet")
         self.mentions = extract_mentions(spark, self.docs)
         if cache:
             self.mentions = self.mentions.cache()
+        # first materialized/cached doc_index_full frame — later grids
+        # re-derive their base from it (cell re-assignment only) instead of
+        # re-running the gazetteer match per grid (r06 third pass)
+        self._full_src: DataFrame | None = None
 
     def n_docs(self) -> int:
         """Corpus size, counted once per Engine — the exact bound that lets
@@ -170,6 +180,31 @@ class Engine:
             pass  # warm-up is best-effort; the build pays spin-up inline
         return self.token_vocab()
 
+    def _adopt_full_source(self, full: DataFrame) -> None:
+        """Record the first materialized/cached doc_index_full frame as the
+        extraction source for every later grid's base, and re-point
+        ``self.mentions`` at its stored arrays: the exploded view over the
+        (pruned-column) stored base is row-identical to
+        ``extract_mentions(docs)`` but costs a columnar read instead of a
+        full re-extraction (r06 third pass; first consumer is tiles)."""
+        if self._full_src is not None:
+            return
+        self._full_src = full
+        old = self.mentions
+        m = full.select(
+            "doc_id", F.explode(F.arrays_zip("names", "lats", "lons")).alias("e")
+        ).select(
+            "doc_id",
+            F.col("e.names").alias("name"),
+            F.col("e.lats").alias("lat"),
+            F.col("e.lons").alias("lon"),
+        )
+        self.mentions = m.cache() if self.cache else m
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+
     def context(self, grid: str = "s2", res: int = 10) -> QueryContext:
         key = (grid, res)
         if key not in self._ctx:
@@ -203,9 +238,20 @@ class Engine:
                     # suppress the overlap while the base still rebuilds
                     warm_pool = ThreadPoolExecutor(max_workers=1)
                     vocab_fut = warm_pool.submit(self._prewarm_python_and_vocab)
+                # later grids re-derive their base from the FIRST grid's
+                # stored base (cell re-assignment over pruned stored
+                # extraction columns) instead of re-running the gazetteer
+                # match per grid; thunked so a checkpoint-gated resume
+                # constructs neither plan
+                def base_src():
+                    if self._full_src is not None:
+                        return doc_index_full_from_full(
+                            self._full_src, grid, res)
+                    return doc_index_full(self.docs, grid, res)
+
                 try:
                     base = self.catalog.materialize(
-                        doc_index_full(self.docs, grid, res),
+                        base_src,
                         f"index_base_{suffix}", "index_base",
                         [self.sf_dir], params=params)
                 except BaseException:
@@ -215,6 +261,7 @@ class Engine:
                     if warm_pool is not None:
                         warm_pool.shutdown(wait=False, cancel_futures=True)
                     raise
+                self._adopt_full_source(base)
                 # mention_cells AND cell_totals are independent of the
                 # token build once the base is stored (the token build
                 # derives the per-cell counts it needs from the base
@@ -357,9 +404,12 @@ class Engine:
                 # in-memory mode: ONE cached frame feeds every index table
                 # (the gazetteer match runs once per corpus pass);
                 # mention_cells is an explode view
-                full = doc_index_full(self.docs, grid, res)
+                full = (doc_index_full_from_full(self._full_src, grid, res)
+                        if self._full_src is not None
+                        else doc_index_full(self.docs, grid, res))
                 if self.cache:
                     full = full.cache()
+                    self._adopt_full_source(full)
                 mc = mention_cells_from_full(full, grid, res)
                 ct = cell_totals_from_base(full, grid, res,
                                            n_docs_hint=self.n_docs())

@@ -91,6 +91,44 @@ def pip_sql(lat: str, lon: str, poly: np.ndarray) -> str:
     return "((" + " + ".join(terms) + ") % 2 = 1)"
 
 
+def pip_hof_sql(lat: str, lon: str, poly: np.ndarray) -> str:
+    """pip_sql's crossing test with the edge constants carried as ONE
+    array<struct> literal folded through an ``aggregate`` higher-order
+    function.
+
+    Bit-identical to ``pip_sql``: the per-edge arithmetic is the same ops in
+    the same order on the same driver-precomputed constants (``x2 - x1`` /
+    ``y2 - y1`` are folded in Python exactly as the unrolled form's literal
+    subtraction folds at plan time), and the crossing sum accumulates
+    sequentially in edge order (integer adds — order-insensitive anyway).
+    Verified 0 differing rows over the full corpus (probe r06e).
+
+    Why it exists (guide §7.2 duplicated-codegen class): the unrolled form
+    inlines the vertex doubles into the generated Java source, so EVERY
+    distinct polygon recompiles its whole-stage method (~0.6-1.5 s measured
+    per polygon).  Here the literals live in the codegen references array
+    (HOFs are CodegenFallback), the generated source is polygon-independent
+    and janino's cache makes every polygon after the first compile-free.
+    The trade: interpreted evaluation is ~3x slower per row (measured 1.19 s
+    vs 0.39 s per 16M rows x 32 cores), so callers choose this form only
+    under a driver-known bound on PIP-evaluated rows — compile cost
+    amortizes at scale, per-row speed does not.
+    """
+    x1s, y1s = poly[:, 1], poly[:, 0]
+    x2s, y2s = np.roll(x1s, -1), np.roll(y1s, -1)
+    edges = ", ".join(
+        f"named_struct('y1', CAST('{y1!r}' AS DOUBLE), 'y2', CAST('{y2!r}' AS DOUBLE), "
+        f"'dx', CAST('{x2 - x1!r}' AS DOUBLE), 'dy', CAST('{y2 - y1!r}' AS DOUBLE), "
+        f"'x1', CAST('{x1!r}' AS DOUBLE))"
+        for x1, y1, x2, y2 in zip(x1s, y1s, x2s, y2s))
+    return (
+        f"(aggregate(array({edges}), 0, (acc, e) -> acc + "
+        f"(CASE WHEN ((e.y1 > ({lat})) <> (e.y2 > ({lat})))"
+        f" AND (({lon}) < e.dx * (({lat}) - e.y1) / e.dy + e.x1)"
+        f" THEN 1 ELSE 0 END)) % 2 = 1)"
+    )
+
+
 # --------------------------------------------------------------------------
 # distance quantization for cross-engine comparison
 # --------------------------------------------------------------------------

@@ -81,6 +81,22 @@ def doc_index_full(docs: DataFrame, grid: str, res: int) -> DataFrame:
     ).withColumn("cells", F.array_distinct(F.col("cells_m")))
 
 
+def doc_index_full_from_full(full: DataFrame, grid: str, res: int) -> DataFrame:
+    """doc_index_full for a NEW (grid, res), re-derived from an already
+    materialized/cached doc_index_full of ANOTHER grid: the extraction
+    columns (doc_id, toks, names, lats, lons) are grid-independent — only
+    the cell assignment recomputes.  Row-identical to
+    ``doc_index_full(docs, grid, res)`` (the stored arrays ARE that
+    function's output); saves one full gazetteer-match pass per additional
+    grid (r06 third pass — the reference likewise scans its store once and
+    builds every index family from the same triple stream,
+    ``src/OscarSgIndex.cpp:96-128``)."""
+    p3 = full.select("doc_id", "toks", "names", "lats", "lons")
+    return p3.withColumn(
+        "cells_m", cells_arr_col(grid, F.col("lats"), F.col("lons"), res)
+    ).withColumn("cells", F.array_distinct(F.col("cells_m")))
+
+
 def doc_index_base(docs: DataFrame, grid: str, res: int) -> DataFrame:
     """(doc_id, toks, cells) projection of doc_index_full — kept as the
     minimal input contract of cell_totals_from_base / token_postings_from_base."""

@@ -50,8 +50,21 @@ MAX_DRIVER_POP_CELLS = 4_000_000
 # guarantees CPython never reuses that id for a different table (ADVICE/
 # VERDICT r02 aliasing hazard).  Bounded FIFO — an evicted entry's id can
 # recycle safely because the entry is gone.
-_POP_CACHE: dict[tuple, tuple[DataFrame, np.ndarray | None]] = {}
+# Entry: (source_df, sorted cell ids | None, per-cell ROW counts aligned
+# with the sorted ids | None) — the counts cost nothing extra (the distinct
+# pass became a count aggregation over the same shuffle) and give the PIP
+# form chooser an EXACT driver-side bound on boundary rows.
+_POP_CACHE: dict[tuple, tuple[DataFrame, np.ndarray | None, np.ndarray | None]] = {}
 _POP_CACHE_CAP = 64
+
+# largest exact boundary-row bound for which the polygon-independent
+# interpreted PIP form (pip_hof_sql) is used in the batch-dimension gate.
+# Measured trade (probe r06e, 32 cores): the unrolled codegen form costs
+# ~0.6-1.5 s of janino compile PER DISTINCT POLYGON; the HOF form compiles
+# once ever but evaluates ~3x slower per row (1.19 s vs 0.39 s per 16M
+# rows).  Break-even ≈ 30M boundary rows; below this cap the compile saving
+# wins, above it per-row speed wins — scale-adaptive by construction.
+PIP_HOF_MAX_ROWS = 20_000_000
 
 
 def cached_covering(grid_name: str, poly: np.ndarray, res: int):
@@ -91,19 +104,38 @@ def populated_cells(df: DataFrame, key: tuple,
     """
     if key not in _POP_CACHE:
         rows = (
-            df.select("cell_id").dropDuplicates()
+            df.groupBy("cell_id").agg(F.count("*").alias("_n"))
             .limit(MAX_DRIVER_POP_CELLS + 1).collect()
         )
         if len(_POP_CACHE) >= _POP_CACHE_CAP:
             _POP_CACHE.pop(next(iter(_POP_CACHE)))
         if len(rows) > MAX_DRIVER_POP_CELLS:
-            _POP_CACHE[key] = (source if source is not None else df, None)
+            _POP_CACHE[key] = (source if source is not None else df, None, None)
         else:
+            cells = np.array([r[0] for r in rows], np.int64)
+            cnts = np.array([r[1] for r in rows], np.int64)
+            order = np.argsort(cells)
             _POP_CACHE[key] = (
                 source if source is not None else df,
-                np.sort(np.array([r[0] for r in rows], np.int64)),
+                cells[order], cnts[order],
             )
     return _POP_CACHE[key][1]
+
+
+def _pop_row_bound(key: tuple, cells: np.ndarray) -> int | None:
+    """Exact Σ source rows over ``cells`` from the memoized per-cell counts
+    (None when the populated list overflowed the driver cap or the key was
+    never collected) — the driver-known bound that gates the interpreted
+    PIP form."""
+    entry = _POP_CACHE.get(key)
+    if entry is None or entry[1] is None or entry[2] is None:
+        return None
+    if not len(cells):
+        return 0
+    idx = np.searchsorted(entry[1], cells)
+    idx = np.clip(idx, 0, len(entry[1]) - 1)
+    hit = entry[1][idx] == cells
+    return int(entry[2][idx[hit]].sum())
 
 
 def expand_full_to_populated(
@@ -151,8 +183,9 @@ def region_query_docs(
     MAX_LITERAL_CELLS.
     """
     probe = mcells.where((F.col("grid") == grid) & (F.col("res") == res))
-    pop = populated_cells(probe, (id(mcells), grid, res), source=mcells)
-    dim = _batch_dim(spark, probe, [("q", poly)], grid, res, pop)
+    key = (id(mcells), grid, res)
+    pop = populated_cells(probe, key, source=mcells)
+    dim = _batch_dim(spark, probe, [("q", poly)], grid, res, pop, pop_key=key)
     if dim is not None:
         j, _names = dim
         return j.select("doc_id").dropDuplicates(["doc_id"])
@@ -187,8 +220,9 @@ def region_query_batch(
     sizes (north_rule).
     """
     probe = mcells.where((F.col("grid") == grid) & (F.col("res") == res))
-    pop = populated_cells(probe, (id(mcells), grid, res), source=mcells)
-    dim = _batch_dim(spark, probe, regions, grid, res, pop)
+    key = (id(mcells), grid, res)
+    pop = populated_cells(probe, key, source=mcells)
+    dim = _batch_dim(spark, probe, regions, grid, res, pop, pop_key=key)
     if dim is not None:
         j, names = dim
         out = j.select("rid", "doc_id").dropDuplicates(["rid", "doc_id"])
@@ -245,9 +279,10 @@ def region_query_batch_counts(
         # are invalid; the per-region fallback would index parts[0])
         return spark.createDataFrame([], "region string, n_docs long")
     probe = mcells.where((F.col("grid") == grid) & (F.col("res") == res))
-    pop = populated_cells(probe, (id(mcells), grid, res), source=mcells)
+    key = (id(mcells), grid, res)
+    pop = populated_cells(probe, key, source=mcells)
     if pop is not None:
-        dim = _batch_dim(spark, probe, regions, grid, res, pop)
+        dim = _batch_dim(spark, probe, regions, grid, res, pop, pop_key=key)
         if dim is not None:
             j, names = dim
             return _mask_counts(j, names)
@@ -401,6 +436,7 @@ def _batch_dim(
     grid: str,
     res: int,
     pop: np.ndarray | None,
+    pop_key: tuple | None = None,
 ):
     """Batched lowering: ONE broadcast join of ``probe`` against the batch's
     combined pruned covering as a dimension table ``(cell_id, rid,
@@ -414,6 +450,11 @@ def _batch_dim(
     are primitive-only.  Returns (joined-and-filtered df with ``rid``,
     names list), or None when ineligible (no driver-side populated list, or
     combined covering above MAX_LITERAL_CELLS).
+
+    ``pop_key``: _POP_CACHE key whose per-cell row counts bound the
+    PIP-evaluated rows; when the bound is known and small the gate uses the
+    polygon-independent interpreted PIP form (no per-polygon codegen — see
+    PIP_HOF_MAX_ROWS), otherwise the unrolled codegen form that scales.
     """
     if pop is None:
         return None
@@ -450,9 +491,15 @@ def _batch_dim(
     # pip_col Column objects cost ~3s of py4j round-trips per 50-polygon
     # batch (measured r04) — the same driver-wall trap _batch_preds_sql
     # already avoids; CASE evaluates only the matching rid's branch
-    from ..functions.geo import pip_sql
+    from ..functions.geo import pip_hof_sql, pip_sql
+    all_bnd = [bnd for _n, _p, _f, bnd in per_region if len(bnd)]
+    bnd_rows = (_pop_row_bound(
+        pop_key, np.unique(np.concatenate(all_bnd))) if all_bnd and
+        pop_key is not None else (0 if not all_bnd else None))
+    pip_form = (pip_hof_sql if bnd_rows is not None
+                and bnd_rows <= PIP_HOF_MAX_ROWS else pip_sql)
     whens = " ".join(
-        f"WHEN rid = {rid} THEN ({pip_sql('lat', 'lon', poly)})"
+        f"WHEN rid = {rid} THEN ({pip_form('lat', 'lon', poly)})"
         for rid, (_name, poly, _fulls, bnd) in enumerate(per_region)
         if len(bnd))
     gate = ("(NOT needs_pip)" if not whens

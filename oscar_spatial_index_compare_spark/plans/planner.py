@@ -382,8 +382,26 @@ class Planner:
                 [(int(c),) for c in boundary], "bcell long"
             ))
             cand = ctx.mcells.join(bdf, F.col("cell_id") == F.col("bcell"))
+            # PIP form choice mirrors region_query._batch_dim: when the
+            # memoized mention-cell row counts (populated by any earlier
+            # region query over the same table) bound the boundary rows
+            # below PIP_HOF_MAX_ROWS, the polygon-independent interpreted
+            # form skips the per-polygon codegen; otherwise the unrolled
+            # codegen form that scales.  Bit-identical either way.
+            from ..functions.geo import pip_hof_sql
+            from ..operators.region_query import (
+                PIP_HOF_MAX_ROWS,
+                _pop_row_bound,
+            )
+            bnd_rows = _pop_row_bound(
+                (id(ctx.mcells), ctx.grid, ctx.res),
+                np.asarray(boundary, np.int64))
+            pip_gate = (
+                F.expr(pip_hof_sql("lat", "lon", poly))
+                if bnd_rows is not None and bnd_rows <= PIP_HOF_MAX_ROWS
+                else pip_col(F.col("lat"), F.col("lon"), poly))
             pm = (
-                cand.where(pip_col(F.col("lat"), F.col("lon"), poly))
+                cand.where(pip_gate)
                 .groupBy("cell_id")
                 .agg(F.array_sort(F.collect_set("doc_id")).alias("m_docs"))
             )
