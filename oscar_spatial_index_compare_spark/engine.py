@@ -172,8 +172,18 @@ class Engine:
         try:
             if not getattr(self.spark, "_osi_py_warmed", False):
                 n = self.spark.sparkContext.defaultParallelism
+
+                def _warm_imports(it):
+                    # the token kernel's first real task otherwise pays the
+                    # numpy/pandas import in every reused worker (~0.3-0.5 s
+                    # wall across the pool); importing here moves that into
+                    # the overlapped warm-up job
+                    import numpy  # noqa: F401
+                    import pandas  # noqa: F401
+                    return it
+
                 (self.spark.range(n).repartition(n)
-                 .mapInArrow(lambda it: it, "id long")
+                 .mapInArrow(_warm_imports, "id long")
                  .write.format("noop").mode("overwrite").save())
                 self.spark._osi_py_warmed = True
         except Exception:

@@ -218,7 +218,44 @@ def knn_docs(
         )
 
     key = (id(mcells), grid, res)
-    counts, mstar, ndocs = _cell_doc_counts(probe, mcells, key)
+    warm_pool = None
+    if key not in _COUNTS_CACHE:
+        # the per-cell stats collect blocks the driver ~1.3 s while the
+        # executors aggregate; the batched plan's first execution then pays
+        # ~2-3 s of whole-stage codegen (driver-side janino) before any
+        # task runs.  Compile it CONCURRENTLY with the stats action (guide
+        # §2.6): a single-candidate same-shape plan generates byte-identical
+        # stage sources (query coords/cells are DATA in the broadcast
+        # frames, not literals), so the real plan below hits the janino
+        # cache.  Driver-side compile overlaps executor-side aggregation —
+        # genuine overlap, not moved cost.  Warm runs (counts cached) have
+        # compiled sources already and skip this.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _warm_compile():
+            try:
+                import pandas as pd
+
+                c0 = F.broadcast(spark.createDataFrame(pd.DataFrame({
+                    "query_id": np.array([0], np.int64),
+                    "cand_cell": np.array([0], np.int64)})))
+                q0 = F.broadcast(spark.createDataFrame(
+                    [(0, 0.0, 0.0, 1)],
+                    "query_id long, qlat double, qlon double, k int"))
+                j0 = probe.join(c0, probe.cell_id == c0.cand_cell).join(
+                    q0, "query_id")
+                (per_doc_topk(j0, 1, use_partial=False).drop("k")
+                 .write.format("noop").mode("overwrite").save())
+            except Exception:
+                pass  # warm-up is best-effort; the real plan compiles inline
+
+        warm_pool = ThreadPoolExecutor(max_workers=1)
+        warm_pool.submit(_warm_compile)
+    try:
+        counts, mstar, ndocs = _cell_doc_counts(probe, mcells, key)
+    finally:
+        if warm_pool is not None:
+            warm_pool.shutdown(wait=False)
     if counts is None:
         # populated-cell list too large for the driver (very deep res at
         # 100 TB): planar ring expansion with the conservative km bound
