@@ -472,6 +472,13 @@ class Engine:
                  .where(F.expr("(NOT needs_pip)"))
                  .select("doc_id").dropDuplicates(["doc_id"])
                  .write.format("noop").mode("overwrite").save())
+                # one tiny op-tree query warms the flagship path's stage
+                # shapes (leaf scan + cell join + flatten) the same way;
+                # the result is discarded (the small internal plan-boundary
+                # blocks are reclaimed by the ContextCleaner)
+                if ctx.tokens and len(ctx.tokens) >= 2:
+                    (Planner(ctx).docs(f"{ctx.tokens[0]} / {ctx.tokens[1]}")
+                     .write.format("noop").mode("overwrite").save())
             except Exception:
                 pass  # preload is best-effort; queries pay their own way
 
