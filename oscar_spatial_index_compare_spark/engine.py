@@ -435,10 +435,11 @@ class Engine:
                 tokens=self.corpus_tokens(),
             )
             if self.catalog is not None:
-                self._preload_query_metadata(self._ctx[key])
+                self._preload_query_metadata(self._ctx[key], base)
         return self._ctx[key]
 
-    def _preload_query_metadata(self, ctx: QueryContext) -> None:
+    def _preload_query_metadata(self, ctx: QueryContext,
+                                base: DataFrame | None = None) -> None:
         """The reference's energize()/preload step (SURVEY S7;
         ``apps/main.cpp:111-121`` mmaps + preloads the cell list at open)
         for a freshly materialized catalog context: a daemon thread
@@ -479,6 +480,42 @@ class Engine:
                 if ctx.tokens and len(ctx.tokens) >= 2:
                     (Planner(ctx).docs(f"{ctx.tokens[0]} / {ctx.tokens[1]}")
                      .write.format("noop").mode("overwrite").save())
+                # kNN per-cell stats from the STORED aggregates (the
+                # CellInfo-at-open analog): per-cell distinct-doc counts
+                # ARE cell_totals.n_docs, and (M*, D) are one pruned scan
+                # of the stored base's cells column — no re-aggregation of
+                # the mention set (knn._cell_doc_counts re-derives the
+                # same numbers from mcells when this memo is cold; its
+                # exactness vs this path is pinned by
+                # tests/test_pip_forms.py::test_preloaded_knn_counts)
+                if base is not None:
+                    from .operators import knn as K
+
+                    kkey = (id(ctx.mcells), ctx.grid, ctx.res)
+                    if kkey not in K._COUNTS_CACHE:
+                        crows = (ctx.ctotals.select("cell_id", "n_docs")
+                                 .limit(K.MAX_DRIVER_COUNT_CELLS + 1)
+                                 .collect())
+                        if len(crows) <= K.MAX_DRIVER_COUNT_CELLS:
+                            srow = base.agg(
+                                F.max(F.size("cells")).alias("a"),
+                                F.sum((F.size("cells") > 0).cast("long")
+                                      ).alias("b")).collect()[0]
+                            if len(K._COUNTS_CACHE) >= K._COUNTS_CACHE_CAP:
+                                K._COUNTS_CACHE.pop(
+                                    next(iter(K._COUNTS_CACHE)))
+                            K._GEOM_CACHE.pop(kkey, None)
+                            K._COUNTS_CACHE[kkey] = (
+                                ctx.mcells,
+                                {int(r.cell_id): int(r.n_docs)
+                                 for r in crows},
+                                int(srow.a or 0), int(srow.b or 0),
+                            )
+                            # with the stats memo warm, knn_docs's own
+                            # stats-overlap thread never fires — warm the
+                            # plan shape here instead
+                            K.warm_plan_shape(self.spark, probe.select(
+                                "doc_id", "lat", "lon", "cell_id"))
             except Exception:
                 pass  # preload is best-effort; queries pay their own way
 

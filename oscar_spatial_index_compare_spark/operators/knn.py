@@ -172,6 +172,52 @@ def _cell_geometry(g, counts: dict[int, int], key: tuple) -> tuple:
     return _GEOM_CACHE[key]
 
 
+def _per_doc_topk(j: DataFrame, max_k: int,
+                  use_partial: bool = True) -> DataFrame:
+    """(joined candidate rows with qlat/qlon/k) → exact per-query top-k:
+    min-distance per (query, doc), optional per-partition bounded heap,
+    global row_number window with the (dist, doc_id) tie-break."""
+    j = j.withColumn(
+        "dist_m",
+        dist_m_col(
+            haversine_col(F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon"))
+        ),
+    )
+    per_doc = j.groupBy("query_id", "doc_id", "k").agg(F.min("dist_m").alias("dist_m"))
+    if use_partial:
+        per_doc = _partial_topk(per_doc, max_k)  # bounded heap per partition
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_m").asc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("k"))
+        .select("query_id", "doc_id", "dist_m", "rank", "k")
+    )
+
+
+def warm_plan_shape(spark: SparkSession, probe: DataFrame) -> None:
+    """Best-effort: noop-execute a single-candidate kNN-shaped plan so the
+    real batched plan's generated stages load from the janino cache (query
+    coords/cells are broadcast DATA, not literals, so the sources are
+    byte-identical).  Called from knn_docs's stats-overlap thread and from
+    the engine's context-open preload."""
+    try:
+        import pandas as pd
+
+        c0 = F.broadcast(spark.createDataFrame(pd.DataFrame({
+            "query_id": np.array([0], np.int64),
+            "cand_cell": np.array([0], np.int64)})))
+        q0 = F.broadcast(spark.createDataFrame(
+            [(0, 0.0, 0.0, 1)],
+            "query_id long, qlat double, qlon double, k int"))
+        j0 = probe.join(c0, probe.cell_id == c0.cand_cell).join(q0, "query_id")
+        (_per_doc_topk(j0, 1, use_partial=False).drop("k")
+         .write.format("noop").mode("overwrite").save())
+    except Exception:
+        pass  # warm-up is best-effort; the real plan compiles inline
+
+
 def knn_docs(
     spark: SparkSession,
     mcells: DataFrame,
@@ -196,26 +242,7 @@ def knn_docs(
     probe = mcells.where((F.col("grid") == grid) & (F.col("res") == res)).select(
         "doc_id", "lat", "lon", "cell_id"
     )
-
-    def per_doc_topk(j: DataFrame, max_k: int,
-                     use_partial: bool = True) -> DataFrame:
-        j = j.withColumn(
-            "dist_m",
-            dist_m_col(
-                haversine_col(F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon"))
-            ),
-        )
-        per_doc = j.groupBy("query_id", "doc_id", "k").agg(F.min("dist_m").alias("dist_m"))
-        if use_partial:
-            per_doc = _partial_topk(per_doc, max_k)  # bounded heap per partition
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("dist_m").asc(), F.col("doc_id").asc()
-        )
-        return (
-            per_doc.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= F.col("k"))
-            .select("query_id", "doc_id", "dist_m", "rank", "k")
-        )
+    per_doc_topk = _per_doc_topk
 
     key = (id(mcells), grid, res)
     warm_pool = None
@@ -232,25 +259,8 @@ def knn_docs(
         # compiled sources already and skip this.
         from concurrent.futures import ThreadPoolExecutor
 
-        def _warm_compile():
-            try:
-                import pandas as pd
-
-                c0 = F.broadcast(spark.createDataFrame(pd.DataFrame({
-                    "query_id": np.array([0], np.int64),
-                    "cand_cell": np.array([0], np.int64)})))
-                q0 = F.broadcast(spark.createDataFrame(
-                    [(0, 0.0, 0.0, 1)],
-                    "query_id long, qlat double, qlon double, k int"))
-                j0 = probe.join(c0, probe.cell_id == c0.cand_cell).join(
-                    q0, "query_id")
-                (per_doc_topk(j0, 1, use_partial=False).drop("k")
-                 .write.format("noop").mode("overwrite").save())
-            except Exception:
-                pass  # warm-up is best-effort; the real plan compiles inline
-
         warm_pool = ThreadPoolExecutor(max_workers=1)
-        warm_pool.submit(_warm_compile)
+        warm_pool.submit(warm_plan_shape, spark, probe)
     try:
         counts, mstar, ndocs = _cell_doc_counts(probe, mcells, key)
     finally:

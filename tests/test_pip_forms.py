@@ -72,6 +72,33 @@ def test_pop_row_bound_exact(spark, engine):
     assert rq._pop_row_bound(("nope", 0, 0), subset) is None
 
 
+def test_preloaded_knn_counts_match_self_sufficient_path(spark, tmp_path):
+    """The context-open preload fills knn's stats memo from the STORED
+    aggregates (cell_totals.n_docs + one base scan); it must equal what
+    knn._cell_doc_counts derives from mention_cells on its own."""
+    import time
+
+    from oscar_spatial_index_compare_spark.engine import Engine
+    from oscar_spatial_index_compare_spark.operators import knn as K
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark, SF_DIR, catalog_root=str(tmp_path / "cat"))
+    ctx = eng.context("h3", 6)
+    key = (id(ctx.mcells), "h3", 6)
+    for _ in range(120):  # preload runs in a daemon thread — wait for it
+        if key in K._COUNTS_CACHE:
+            break
+        time.sleep(0.25)
+    assert key in K._COUNTS_CACHE, "preload did not populate the knn memo"
+    pre = K._COUNTS_CACHE.pop(key)  # drop it and recompute from mcells
+    probe = ctx.mcells.where(
+        (F.col("grid") == "h3") & (F.col("res") == 6)).select(
+        "doc_id", "lat", "lon", "cell_id")
+    counts, mstar, ndocs = K._cell_doc_counts(probe, ctx.mcells, key)
+    assert pre[1] == counts
+    assert (pre[2], pre[3]) == (mstar, ndocs)
+
+
 def test_knn_cell_counts_exact(spark, engine):
     """count_distinct rewrite of _cell_doc_counts returns exactly the
     brute-force per-cell distinct doc counts and (M*, D) spread."""
