@@ -450,8 +450,15 @@ class Engine:
         into the first region query (measured ~0.6 s collect + ~0.8 s
         first-plan per table).  Best-effort and catalog-mode only: an
         in-memory context's mcells is a lineage view whose eager scan
-        would trigger the whole extraction."""
+        would trigger the whole extraction.  ``SPARK_GRAFT_NO_PRELOAD=1``
+        disables it (a token-query-only client opening many contexts may
+        not want speculative metadata jobs contending with its own first
+        queries)."""
+        import os
         import threading
+
+        if os.environ.get("SPARK_GRAFT_NO_PRELOAD"):
+            return
 
         def _warm():
             try:
@@ -462,6 +469,7 @@ class Engine:
                 populated_cells(
                     probe, (id(ctx.mcells), ctx.grid, ctx.res),
                     source=ctx.mcells)
+                import numpy as np
                 import pandas as pd
 
                 dim = self.spark.createDataFrame(pd.DataFrame({
@@ -469,10 +477,22 @@ class Engine:
                     "rid": pd.array([0], dtype="int64"),
                     "needs_pip": [False],
                 }))
-                (probe.join(F.broadcast(dim), "cell_id")
-                 .where(F.expr("(NOT needs_pip)"))
-                 .select("doc_id").dropDuplicates(["doc_id"])
-                 .write.format("noop").mode("overwrite").save())
+                j = probe.join(F.broadcast(dim), "cell_id")
+                # warm BOTH gate shapes a real region query compiles: the
+                # no-boundary form and the HOF-PIP CASE form (whose
+                # generated source is polygon-independent, so one dummy
+                # triangle covers every bound-gated polygon — review r06)
+                from .functions.geo import pip_hof_sql
+
+                tri = np.array([[0.0, 0.0], [0.0, 1.0], [1.0, 0.0]])
+                for gate in (
+                    "(NOT needs_pip)",
+                    "(NOT needs_pip) OR (CASE WHEN rid = 0 THEN "
+                    f"({pip_hof_sql('lat', 'lon', tri)}) ELSE false END)",
+                ):
+                    (j.where(F.expr(gate))
+                     .select("doc_id").dropDuplicates(["doc_id"])
+                     .write.format("noop").mode("overwrite").save())
                 # one tiny op-tree query warms the flagship path's stage
                 # shapes (leaf scan + cell join + flatten) the same way;
                 # the result is discarded (the small internal plan-boundary
@@ -501,16 +521,11 @@ class Engine:
                                 F.max(F.size("cells")).alias("a"),
                                 F.sum((F.size("cells") > 0).cast("long")
                                       ).alias("b")).collect()[0]
-                            if len(K._COUNTS_CACHE) >= K._COUNTS_CACHE_CAP:
-                                K._COUNTS_CACHE.pop(
-                                    next(iter(K._COUNTS_CACHE)))
-                            K._GEOM_CACHE.pop(kkey, None)
-                            K._COUNTS_CACHE[kkey] = (
-                                ctx.mcells,
+                            K.seed_counts(
+                                kkey, ctx.mcells,
                                 {int(r.cell_id): int(r.n_docs)
                                  for r in crows},
-                                int(srow.a or 0), int(srow.b or 0),
-                            )
+                                int(srow.a or 0), int(srow.b or 0))
                             # with the stats memo warm, knn_docs's own
                             # stats-overlap thread never fires — warm the
                             # plan shape here instead

@@ -116,10 +116,16 @@ def pip_hof_sql(lat: str, lon: str, poly: np.ndarray) -> str:
     """
     x1s, y1s = poly[:, 1], poly[:, 0]
     x2s, y2s = np.roll(x1s, -1), np.roll(y1s, -1)
+    # float() before !r: np.float64's repr is the bare number on numpy 1.x
+    # but 'np.float64(…)' on numpy 2.x, which CAST('…' AS DOUBLE) would
+    # turn into silent NULLs (review r06); plain float reprs are identical
+    # on both and parse exactly
     edges = ", ".join(
-        f"named_struct('y1', CAST('{y1!r}' AS DOUBLE), 'y2', CAST('{y2!r}' AS DOUBLE), "
-        f"'dx', CAST('{x2 - x1!r}' AS DOUBLE), 'dy', CAST('{y2 - y1!r}' AS DOUBLE), "
-        f"'x1', CAST('{x1!r}' AS DOUBLE))"
+        f"named_struct('y1', CAST('{float(y1)!r}' AS DOUBLE), "
+        f"'y2', CAST('{float(y2)!r}' AS DOUBLE), "
+        f"'dx', CAST('{float(x2) - float(x1)!r}' AS DOUBLE), "
+        f"'dy', CAST('{float(y2) - float(y1)!r}' AS DOUBLE), "
+        f"'x1', CAST('{float(x1)!r}' AS DOUBLE))"
         for x1, y1, x2, y2 in zip(x1s, y1s, x2s, y2s))
     return (
         f"(aggregate(array({edges}), 0, (acc, e) -> acc + "

@@ -133,21 +133,32 @@ def _cell_doc_counts(probe: DataFrame, source: DataFrame,
         rows = per_cell.unionByName(spread).collect()
         cell_rows = [r for r in rows if r.kind == 0]
         srow = next(r for r in rows if r.kind == 1)
-        if len(_COUNTS_CACHE) >= _COUNTS_CACHE_CAP:
-            _COUNTS_CACHE.pop(next(iter(_COUNTS_CACHE)))
-        # a (re)computed counts entry invalidates any geometry cached under
-        # the same key (id() reuse after an eviction)
-        _GEOM_CACHE.pop(key, None)
         if len(cell_rows) > MAX_DRIVER_COUNT_CELLS:
-            _COUNTS_CACHE[key] = (source, None, 0, 0)
+            seed_counts(key, source, None, 0, 0)
         else:
-            _COUNTS_CACHE[key] = (
-                source,
+            seed_counts(
+                key, source,
                 {int(r.cell_id): int(r.a) for r in cell_rows},
-                int(srow.a or 0),
-                int(srow.b or 0),
+                int(srow.a or 0), int(srow.b or 0),
             )
     return _COUNTS_CACHE[key][1:]
+
+
+def seed_counts(key: tuple, source: DataFrame,
+                counts: dict[int, int] | None, mstar: int, ndocs: int) -> None:
+    """Insert a stats entry under the cache's invariants (FIFO cap,
+    source-df pinning for id() safety, geometry invalidation on refill).
+    Shared by _cell_doc_counts and the engine's context-open preload so
+    the insertion protocol lives in exactly one place (review r06)."""
+    if len(_COUNTS_CACHE) >= _COUNTS_CACHE_CAP:
+        try:
+            _COUNTS_CACHE.pop(next(iter(_COUNTS_CACHE)), None)
+        except (StopIteration, RuntimeError):
+            pass  # concurrent evictor (preload thread vs query thread)
+    # a (re)computed counts entry invalidates any geometry cached under
+    # the same key (id() reuse after an eviction)
+    _GEOM_CACHE.pop(key, None)
+    _COUNTS_CACHE[key] = (source, counts, mstar, ndocs)
 
 
 # per-(table, grid, res) populated-cell geometry: ids, counts, centers and a
@@ -167,7 +178,10 @@ def _cell_geometry(g, counts: dict[int, int], key: tuple) -> tuple:
         for la, lo in ((0, 2), (0, 3), (1, 2), (1, 3)):
             rad_km = np.maximum(rad_km, haversine_np(clat, clon, bb[:, la], bb[:, lo]))
         if len(_GEOM_CACHE) >= _COUNTS_CACHE_CAP:
-            _GEOM_CACHE.pop(next(iter(_GEOM_CACHE)))
+            try:
+                _GEOM_CACHE.pop(next(iter(_GEOM_CACHE)), None)
+            except (StopIteration, RuntimeError):
+                pass  # concurrent evictor
         _GEOM_CACHE[key] = (cells, n_arr, clat, clon, rad_km)
     return _GEOM_CACHE[key]
 
@@ -242,8 +256,6 @@ def knn_docs(
     probe = mcells.where((F.col("grid") == grid) & (F.col("res") == res)).select(
         "doc_id", "lat", "lon", "cell_id"
     )
-    per_doc_topk = _per_doc_topk
-
     key = (id(mcells), grid, res)
     warm_pool = None
     if key not in _COUNTS_CACHE:
@@ -270,7 +282,7 @@ def knn_docs(
         # populated-cell list too large for the driver (very deep res at
         # 100 TB): planar ring expansion with the conservative km bound
         return _knn_ring_expansion(
-            spark, probe, g, s, queries, res, max_r, per_doc_topk
+            spark, probe, g, s, queries, res, max_r
         )
 
     if not counts:
@@ -337,7 +349,7 @@ def knn_docs(
             # path instead of shipping queries×cells rows (VERDICT r05
             # item 4)
             return _knn_ring_expansion(
-                spark, probe, g, s, queries, res, max_r, per_doc_topk
+                spark, probe, g, s, queries, res, max_r
             )
         qids_parts.append(np.full(len(sel), qid, np.int64))
         cells_parts.append(sel)
@@ -355,11 +367,11 @@ def knn_docs(
     # exact upper bound on per-doc rows (Σ candidate-cell distinct counts),
     # so small batches skip the Python boundary entirely — the window alone
     # is exact (guide §4: eliminate JVM↔Python when built-ins suffice)
-    return per_doc_topk(j2, max_k,
+    return _per_doc_topk(j2, max_k,
                         use_partial=est_rows > PARTIAL_TOPK_MIN_ROWS).drop("k")
 
 
-def _knn_ring_expansion(spark, probe, g, s, queries, res, max_r, per_doc_topk):
+def _knn_ring_expansion(spark, probe, g, s, queries, res, max_r):
     """Ring-doubling fallback when per-cell counts exceed the driver cap."""
     pending = {qid: (lat, lon, k) for qid, lat, lon, k in queries}
     seed = {
@@ -385,7 +397,7 @@ def _knn_ring_expansion(spark, probe, g, s, queries, res, max_r, per_doc_topk):
         )
         j = probe.join(cand, probe.cell_id == cand.cand_cell).join(qdf, "query_id")
         max_k = max(k for _, _, k in pending.values())
-        rows = per_doc_topk(j, max_k).collect()  # k-bounded
+        rows = _per_doc_topk(j, max_k).collect()  # k-bounded
         by_q: dict[int, list] = {}
         for row in rows:
             by_q.setdefault(row.query_id, []).append(row)
@@ -436,7 +448,7 @@ def _knn_ring_expansion(spark, probe, g, s, queries, res, max_r, per_doc_topk):
     for p in parts[1:]:
         j = j.unionByName(p)
     max_k = max(k for _, _, _, k in queries)
-    return per_doc_topk(j, max_k).drop("k")
+    return _per_doc_topk(j, max_k).drop("k")
 
 
 def knn_oracle_sql(queries: list[tuple[int, float, float, int]]) -> str:

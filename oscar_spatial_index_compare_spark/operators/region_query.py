@@ -74,9 +74,20 @@ def cached_covering(grid_name: str, poly: np.ndarray, res: int):
     key = (grid_name, res, poly.tobytes())
     if key not in _COVERING_CACHE:
         if len(_COVERING_CACHE) >= _COVERING_CACHE_CAP:
-            _COVERING_CACHE.pop(next(iter(_COVERING_CACHE)))
+            _evict_one(_COVERING_CACHE)
         _COVERING_CACHE[key] = get_grid(grid_name).covering(poly, res)
     return _COVERING_CACHE[key]
+
+
+def _evict_one(cache: dict) -> None:
+    """FIFO-evict one entry, tolerating a concurrent evictor: the engine's
+    context-open preload thread fills these memos while query threads may
+    be doing the same, and two threads racing ``pop(next(iter(...)))`` on
+    the same victim must not raise out of a user's query (review r06)."""
+    try:
+        cache.pop(next(iter(cache)), None)
+    except (StopIteration, RuntimeError):
+        pass  # emptied or resized mid-iteration by the other thread
 
 
 # largest pruned covering worth shipping from the driver as a broadcast
@@ -108,7 +119,7 @@ def populated_cells(df: DataFrame, key: tuple,
             .limit(MAX_DRIVER_POP_CELLS + 1).collect()
         )
         if len(_POP_CACHE) >= _POP_CACHE_CAP:
-            _POP_CACHE.pop(next(iter(_POP_CACHE)))
+            _evict_one(_POP_CACHE)
         if len(rows) > MAX_DRIVER_POP_CELLS:
             _POP_CACHE[key] = (source if source is not None else df, None, None)
         else:
@@ -492,10 +503,23 @@ def _batch_dim(
     # batch (measured r04) — the same driver-wall trap _batch_preds_sql
     # already avoids; CASE evaluates only the matching rid's branch
     from ..functions.geo import pip_hof_sql, pip_sql
+    # Σ PER-REGION bounds, not the union's: the CASE evaluates PIP once
+    # per (row × matching rid), so overlapping regions' shared boundary
+    # cells count once per region (review r06 — the union bound
+    # undercounted exactly for large overlapping batches)
     all_bnd = [bnd for _n, _p, _f, bnd in per_region if len(bnd)]
-    bnd_rows = (_pop_row_bound(
-        pop_key, np.unique(np.concatenate(all_bnd))) if all_bnd and
-        pop_key is not None else (0 if not all_bnd else None))
+    if not all_bnd:
+        bnd_rows = 0
+    elif pop_key is None:
+        bnd_rows = None
+    else:
+        bnd_rows = 0
+        for bnd in all_bnd:
+            b = _pop_row_bound(pop_key, bnd)
+            if b is None:
+                bnd_rows = None
+                break
+            bnd_rows += b
     pip_form = (pip_hof_sql if bnd_rows is not None
                 and bnd_rows <= PIP_HOF_MAX_ROWS else pip_sql)
     whens = " ".join(

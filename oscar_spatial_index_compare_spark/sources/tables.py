@@ -30,10 +30,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _size_bytes(conf_val: str, default: int) -> int:
-    """Parse a Spark byte-size conf string ('134217728b', '128m', '1g')."""
+    """Parse a Spark byte-size conf string — Spark accepts both one- and
+    two-letter suffixes ('134217728b', '128m', '256mb', '1g', '1gb')."""
     s = str(conf_val).strip().lower()
     mult = 1
-    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("tb", 1 << 40), ("k", 1 << 10), ("m", 1 << 20),
+                   ("g", 1 << 30), ("t", 1 << 40), ("b", 1)):
         if s.endswith(suf):
             s = s[: -len(suf)]
             mult = m
@@ -83,7 +86,7 @@ def ensure_scan_parallelism(df: DataFrame, spark: SparkSession,
             open_cost = _size_bytes(
                 spark.conf.get("spark.sql.files.openCostInBytes", "4194304b"),
                 4 << 20)
-            split = min(mpb, max(open_cost, sum(sizes) // max(1, n)))
+            split = max(1, min(mpb, max(open_cost, sum(sizes) // max(1, n))))
             est = sum(-(-sz // split) for sz in sizes)
             if est >= n:
                 return df
